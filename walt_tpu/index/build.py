@@ -1,0 +1,208 @@
+"""Index construction: hashed spaced-seed tables over converted genomes.
+
+Reproduces the observable artifact of the reference's ``BuildIndex``
+(``src/walt/makedb.cpp:46-85`` and ``reference.cpp:192-300``):
+
+for each of four conversions (C->T fwd, C->T revcomp, G->A fwd, G->A revcomp)
+build a CSR hash table mapping a 12-cared-base key (4^12 buckets) to the
+sorted list of genome positions whose spaced seed hashes to it.
+
+Differences in HOW (this is a batch array program, not a scalar loop):
+
+- keys for all genome positions are computed vectorized (one shifted gather
+  per cared offset),
+- the CSR fill is a single stable argsort by key (equivalent to the
+  reference's two counting passes, which also yield position-ascending
+  buckets),
+- the within-bucket sort by cared positions 12..59 (reference.cpp:258-300)
+  is done by the native C++ helper with std::sort and an equivalent
+  comparator so that tie ordering (entries equal on all cared positions)
+  matches the reference binary exactly; a NumPy lexsort fallback is used when
+  the native library is unavailable (stable sort: may order full ties
+  differently, which is only observable for ambiguously-mapped reads).
+
+Buckets with >= 500,000 entries are erased with a notice, as in
+reference.cpp:211-218.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import numpy as np
+
+from walt_tpu.constants import SeedPattern, get_pattern
+from walt_tpu.genome import (
+    Genome,
+    c2t,
+    g2a,
+    load_genome,
+    reverse_complement_genome,
+)
+
+EXTREMAL_BUCKET = 500_000  # reference.cpp:212
+
+
+@dataclasses.dataclass
+class HashTable:
+    counter: np.ndarray  # uint32 (4^12 + 1,) CSR offsets
+    index: np.ndarray  # uint32 (n,) genome positions, bucket-sorted
+
+    @property
+    def index_size(self) -> int:
+        return int(self.index.shape[0])
+
+    @property
+    def counter_size(self) -> int:
+        return int(self.counter.shape[0]) - 1
+
+
+def seed_keys(seq: np.ndarray, positions: np.ndarray, pattern: SeedPattern) -> np.ndarray:
+    """Hash keys for seeds starting at ``positions`` (util.hpp:175-182).
+
+    key = the first ``key_weight`` cared bases packed 2 bits each, first base
+    most significant.
+    """
+    keys = np.zeros(positions.shape[0], dtype=np.uint32)
+    for i in range(pattern.key_weight):
+        keys <<= np.uint32(2)
+        keys |= seq[positions + pattern.cared[i]].astype(np.uint32)
+    return keys
+
+
+def _valid_positions(genome: Genome, pattern: SeedPattern) -> np.ndarray:
+    """Seed start positions hashed by the reference (reference.cpp:199-207).
+
+    Per chromosome: [start, start + len - MINIMALSEEDLEN), skipping
+    chromosomes shorter than MINIMALSEEDLEN.
+    """
+    parts = []
+    for i in range(genome.n_chroms):
+        if int(genome.lengths[i]) < pattern.min_seed_len:
+            continue
+        a = int(genome.start_index[i])
+        b = int(genome.start_index[i + 1]) - pattern.min_seed_len
+        if b > a:
+            parts.append(np.arange(a, b, dtype=np.uint32))
+    if not parts:
+        return np.zeros(0, dtype=np.uint32)
+    return np.concatenate(parts)
+
+
+def _sort_key_columns(genome: Genome, idx: np.ndarray, pattern: SeedPattern):
+    """Columns (one per cared position 12..end) used to order a bucket.
+
+    Encodes the comparator of reference.cpp:258-288: position value + 1,
+    with 0 for positions past the end of the entry's chromosome, so that
+    lexicographic order on these columns == the reference's sort order.
+    """
+    chrom_id = genome.chrom_id_of(idx)
+    chrom_end = genome.start_index[chrom_id + 1].astype(np.int64)
+    remain = chrom_end - idx.astype(np.int64)  # bases left in the chromosome
+    glen = genome.length_of_genome
+    cols = []
+    for p in range(pattern.key_weight, pattern.cared_size):
+        off = int(pattern.cared[p])
+        pos = idx.astype(np.int64) + off
+        val = np.where(pos < glen, genome.seq[np.minimum(pos, glen - 1)], 0).astype(
+            np.uint8
+        )
+        col = np.where(off < remain, val + 1, 0).astype(np.uint8)
+        cols.append(col)
+    return cols
+
+
+def sort_buckets_numpy(genome: Genome, counter: np.ndarray, idx: np.ndarray,
+                       pattern: SeedPattern) -> np.ndarray:
+    """Within-bucket sort, NumPy fallback (stable; see module docstring)."""
+    if idx.shape[0] == 0:
+        return idx
+    cols = _sort_key_columns(genome, idx, pattern)
+    # One global stable lexsort: primary key = bucket (already grouped by
+    # position in the CSR fill), then the cared columns.  We emulate by
+    # sorting within the existing grouping using the bucket id as the most
+    # significant key.
+    bucket_of = np.repeat(
+        np.arange(counter.shape[0] - 1, dtype=np.uint32), np.diff(counter).astype(np.int64)
+    )
+    order = np.lexsort(list(reversed(cols)) + [bucket_of])
+    return idx[order]
+
+
+def sort_buckets(genome: Genome, counter: np.ndarray, idx: np.ndarray,
+                 pattern: SeedPattern) -> np.ndarray:
+    """Within-bucket sort; uses the native library when available."""
+    try:
+        from walt_tpu.host.native import native_sort_buckets
+
+        return native_sort_buckets(genome, counter, idx, pattern)
+    except Exception:
+        return sort_buckets_numpy(genome, counter, idx, pattern)
+
+
+def build_table(genome: Genome, conversion: str, pattern: SeedPattern | None = None,
+                verbose: bool = True) -> tuple:
+    """Build one converted-genome table.
+
+    conversion: one of 'CT00', 'CT01', 'GA10', 'GA11' (fwd/revcomp x C2T/G2A,
+    matching makedb.cpp:144-155).  Returns (converted Genome, HashTable).
+    """
+    pattern = pattern or get_pattern("3")
+    g = genome
+    if conversion.endswith("1"):
+        g = reverse_complement_genome(g)
+    seq = c2t(g.seq) if conversion.startswith("CT") else g2a(g.seq)
+    g = dataclasses.replace(g, seq=seq)
+
+    pos = _valid_positions(g, pattern)
+    keys = seed_keys(g.seq, pos, pattern)
+    n_buckets = pattern.n_buckets
+    counts = np.bincount(keys, minlength=n_buckets).astype(np.uint32)
+
+    big = np.flatnonzero(counts >= EXTREMAL_BUCKET)
+    if big.size:
+        for b in big:
+            if verbose:
+                print(
+                    f"[NOTICE: ERASE THE BUCKET {b} SINCE ITS SIZE IS {counts[b]}]",
+                    file=sys.stderr,
+                )
+        keep = ~np.isin(keys, big.astype(np.uint32))
+        pos, keys = pos[keep], keys[keep]
+        counts[big] = 0
+
+    counter = np.zeros(n_buckets + 1, dtype=np.uint32)
+    np.cumsum(counts, out=counter[1:])
+    # CSR fill: stable sort by key keeps position-ascending order in buckets,
+    # identical to the reference's counting-sort fill (reference.cpp:231-256).
+    order = np.argsort(keys, kind="stable")
+    idx = pos[order]
+    idx = sort_buckets(g, counter, idx, pattern)
+    return g, HashTable(counter=counter, index=idx)
+
+
+CONVERSIONS = ("CT00", "CT01", "GA10", "GA11")
+
+
+def build_all_tables(chrom_files, pattern: SeedPattern | None = None, seed: int = 0,
+                     verbose: bool = True):
+    """Build all four tables (makedb.cpp:144-155).
+
+    Returns (plain Genome, dict conversion -> (converted Genome, HashTable)).
+    The plain genome is re-read per table in the reference (continuing one
+    rand() stream across reads); we read once with a fixed seed -- N-base
+    randomization of the *genome* is irreproducible in the reference anyway
+    (time-seeded, makedb.cpp:88).
+    """
+    from walt_tpu.glibc_rand import GlibcRand
+
+    genome = load_genome(chrom_files, GlibcRand(seed))
+    tables = {}
+    for conv in CONVERSIONS:
+        if verbose:
+            strand = "REVERSE" if conv.endswith("1") else "FORWARD"
+            kind = "C->T" if conv.startswith("CT") else "G->A"
+            print(f"[BUILD INDEX FOR {strand} STRAND ({kind})]", file=sys.stderr)
+        tables[conv] = build_table(genome, conv, pattern, verbose=verbose)
+    return genome, tables
