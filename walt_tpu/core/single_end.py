@@ -1,0 +1,105 @@
+"""Single-end mapping driver (ProcessSingledEndReads, mapping.cpp:421-526).
+
+Differences in HOW (not WHAT): both strand tables stay resident instead of
+being re-read from disk every batch (the reference's reload at
+mapping.cpp:491-492 exists only to bound RAM), and candidate enumeration is
+delegated to a batched backend; the sequential best-hit semantics are then
+replayed per read (walt_tpu.host.replay) so the output is byte-identical.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from walt_tpu.constants import get_pattern
+from walt_tpu.host import emit
+from walt_tpu.host.fastq import FgetsLines, load_batch
+from walt_tpu.host.replay import BestMatch, replay_single
+from walt_tpu.index import io_walt
+
+
+def process_single_end(index_file: str, reads_file: str, output_file: str,
+                       batch_size: int = 10_000_000, max_mismatches: int = 6,
+                       b: int = 5000, adaptor: str = "", ag_wildcard: bool = False,
+                       ambiguous: bool = False, unmapped: bool = False,
+                       sam: bool = False, backend=None, pattern_name: str = "3",
+                       verbose: bool = False) -> emit.StatSingleReads:
+    pattern = get_pattern(pattern_name)
+    if backend is None:
+        from walt_tpu.core.backends import get_backend
+
+        backend = get_backend("numpy")
+
+    genome_meta, _ = io_walt.read_head(index_file)
+    suffixes = ("_CT00", "_CT01") if not ag_wildcard else ("_GA10", "_GA11")
+    tables = [io_walt.read_table(index_file + s, genome_meta) for s in suffixes]
+    strands = "+-"
+
+    stat = emit.StatSingleReads()
+    fout = open(output_file, "a")
+    famb = funm = None
+    if ambiguous and not sam:
+        famb = open(output_file + "_ambiguous", "w")
+    if unmapped and not sam:
+        funm = open(output_file + "_unmapped", "w")
+
+    if verbose:
+        print(f"input_file: {reads_file}", file=sys.stderr)
+        print(f"output_file: {output_file}", file=sys.stderr)
+    if sam:
+        fout.write(emit.sam_head(genome_meta))
+
+    t0 = time.process_time()
+    lines = FgetsLines(reads_file)
+    while True:
+        batch = load_batch(lines, batch_size, adaptor.encode())
+        n = len(batch)
+        if n == 0:
+            break
+        codes, lens = batch.packed()
+
+        streams = []
+        for (g, ht), strand in zip(tables, strands):
+            per_read = backend.map_strand(
+                codes, lens, g, ht, ag_wildcard, b, max_mismatches, pattern
+            )
+            streams.append((strand, per_read))
+
+        for j in range(n):
+            if int(lens[j]) < pattern.min_read_len:
+                # counted once per strand pass (mapping.cpp:230-233 runs
+                # under both table iterations of mapping.cpp:491-499)
+                stat.num_of_short += 2
+                bm = BestMatch(0, 0, "+", max_mismatches)
+            else:
+                bm = replay_single(
+                    [(strand, per_read[j]) for strand, per_read in streams],
+                    max_mismatches,
+                    pattern,
+                )
+            stat.update(bm.times)
+            if not sam:
+                emit.single_mr(
+                    bm, batch.names[j], batch.seqs[j], batch.quals[j],
+                    genome_meta, ag_wildcard, fout, famb, funm,
+                )
+            else:
+                emit.single_sam(
+                    bm, batch.names[j], batch.seqs[j], batch.quals[j],
+                    genome_meta, ambiguous, unmapped, fout,
+                )
+
+        if n < batch_size:
+            break
+    lines.close()
+    fout.close()
+    for f in (famb, funm):
+        if f is not None:
+            f.close()
+
+    with open(output_file + ".mapstats", "a") as ms:
+        ms.write(stat.tostring(pattern.min_read_len) + "\n")
+    if verbose:
+        print(f"mapping_time: {time.process_time() - t0}", file=sys.stderr)
+    return stat

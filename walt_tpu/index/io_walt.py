@@ -49,7 +49,7 @@ def read_table(path: str, genome: Genome) -> tuple:
     Genome carrying the converted sequence read from the table file, plus the
     HashTable.
     """
-    glen = genome.length_of_genome
+    glen = int(genome.start_index[-1])
     with open(path, "rb") as f:
         strand = f.read(1).decode()
         seq = BASE_TO_CODE[np.frombuffer(f.read(glen), dtype=np.uint8)]
