@@ -1,0 +1,236 @@
+"""Paired-end mapping driver (ProcessPairedEndReads, paired.cpp:572-713).
+
+Mate 1 is mapped C->T against the CT tables, mate 2 G->A against the GA
+tables (paired.cpp:592-596, 642-643).  Per mate the top-k candidates are kept
+with the reference's bounded heap semantics (replayed on host), then pairs
+are joined under the opposite-strand / same-chromosome / fragment-length
+constraints of MergePairedEndResults (paired.cpp:438-570).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from walt_tpu.constants import get_pattern
+from walt_tpu.host import emit, emit_paired
+from walt_tpu.host.fastq import FgetsLines, load_batch
+from walt_tpu.host.replay import (
+    BestMatch,
+    get_best_match_for_single,
+    replay_paired_topk,
+)
+from walt_tpu.index import io_walt
+
+
+def extract_adaptors(adaptor: str):
+    """'T_adaptor[:A_adaptor]' (util.hpp:221-233)."""
+    if adaptor.count(":") > 1:
+        raise RuntimeError('ERROR: adaptor format "T_adaptor[:A_adaptor]"')
+    if ":" not in adaptor:
+        return adaptor, adaptor
+    t, a = adaptor.split(":")
+    return t, a
+
+
+def merge_pair(genome, ranked1, ranked2, name, seq1, qual1, seq2, qual2,
+               frag_range, max_mismatches, sam, stat, fouts, pattern):
+    """MergePairedEndResults (paired.cpp:438-570).
+
+    ranked1/ranked2: drain-order candidate lists (mm, pos, strand).
+    fouts: dict with 'out', and per-mate ambiguous/unmapped handles or None.
+    """
+    len1, len2 = len(seq1), len(seq2)
+    best_pair = (-1, -1)
+    min_mm = max_mismatches
+    best_pos = 0
+    best_times = 0
+    n1, n2 = len(ranked1), len(ranked2)
+    for i in range(n1 - 1, -1, -1):
+        r1 = ranked1[i]
+        chr_id1 = int(genome.chrom_id_of(r1[1]))
+        for j in range(n2 - 1, -1, -1):
+            r2 = ranked2[j]
+            if r1[2] == r2[2]:
+                continue
+            mm = r1[0] + r2[0]
+            if mm > min_mm:
+                break
+            chr_id2 = int(genome.chrom_id_of(r2[1]))
+            if chr_id1 != chr_id2:
+                continue
+            frag = emit_paired.fragment_length(
+                genome, r1, r2, len1, len2, chr_id1, chr_id2
+            )
+            if frag <= 0 or frag > frag_range:
+                continue
+            cur_pos = (r1[1] << 32) + r2[1]
+            if mm < min_mm:
+                best_pair = (i, j)
+                best_times = 1
+                min_mm = mm
+                best_pos = cur_pos
+            elif mm == min_mm and cur_pos != best_pos:
+                best_pair = (i, j)
+                best_times += 1
+
+    bm1 = BestMatch(0, 0, "+", max_mismatches)
+    bm2 = BestMatch(0, 0, "+", max_mismatches)
+    is_paired_mapped = False
+    frag_len = 0
+    if best_times == 1:
+        stat.unique_pairs += 1
+        r1, r2 = ranked1[best_pair[0]], ranked2[best_pair[1]]
+        frag_len = emit_paired.best_paired_mr(
+            genome, r1, r2, frag_range, name, seq1, qual1, seq2, qual2,
+            sam, fouts["out"],
+        )
+        stat.frag_len_count[frag_len] += 1
+        if sam:
+            is_paired_mapped = True
+            bm1 = BestMatch(r1[1], 1, r1[2], r1[0])
+            bm2 = BestMatch(r2[1], 1, r2[2], r2[0])
+    else:
+        if best_times >= 2:
+            stat.ambiguous_pairs += 1
+        else:
+            stat.unmapped_pairs += 1
+        bm1 = get_best_match_for_single(ranked1, max_mismatches)
+        bm2 = get_best_match_for_single(ranked2, max_mismatches)
+        stat.mate1.update(bm1.times)
+        stat.mate2.update(bm2.times)
+        if not sam:
+            emit.single_mr(
+                bm1, name, seq1, qual1, genome, False,
+                fouts["out"], fouts["amb1"], fouts["unm1"],
+            )
+            emit.single_mr(
+                bm2, name, seq2, qual2, genome, True,
+                fouts["out"], fouts["amb2"], fouts["unm2"],
+            )
+    if sam:
+        flag1 = emit_paired.sam_flag(
+            True, is_paired_mapped, bm1.times == 0, bm2.times == 0,
+            bm1.strand == "-", bm2.strand == "-", True, False, bm1.times >= 2,
+        )
+        flag2 = emit_paired.sam_flag(
+            True, is_paired_mapped, bm2.times == 0, bm1.times == 0,
+            bm2.strand == "-", bm1.strand == "-", False, True, bm2.times >= 2,
+        )
+        emit_paired.paired_sam(
+            bm1, bm2, genome, name, seq1, qual1, seq2, qual2, frag_len,
+            flag1, flag2, fouts["ambiguous"], fouts["unmapped"],
+            fouts["ambiguous"], fouts["unmapped"], fouts["out"],
+        )
+
+
+def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
+                       output_file: str, batch_size: int = 10_000_000,
+                       max_mismatches: int = 6, b: int = 5000, adaptor: str = "",
+                       top_k: int = 50, frag_range: int = 1000,
+                       ambiguous: bool = False, unmapped: bool = False,
+                       sam: bool = False, backend=None, pattern_name: str = "3",
+                       verbose: bool = False) -> emit.StatPairedReads:
+    pattern = get_pattern(pattern_name)
+    if backend is None:
+        from walt_tpu.core.backends import get_backend
+
+        backend = get_backend("numpy")
+
+    genome_meta, _ = io_walt.read_head(index_file)
+    table_names = [("_CT00", "_CT01"), ("_GA10", "_GA11")]
+    tables = [
+        [io_walt.read_table(index_file + s, genome_meta) for s in pair]
+        for pair in table_names
+    ]
+    strands = "+-"
+
+    stat = emit.StatPairedReads(
+        frag_len_count=np.zeros(frag_range + 1, dtype=np.int64)
+    )
+    adaptors = extract_adaptors(adaptor)
+
+    fout = open(output_file, "a")
+    fouts = {"out": fout, "ambiguous": ambiguous, "unmapped": unmapped}
+    for mate in (1, 2):
+        fouts[f"amb{mate}"] = (
+            open(f"{output_file}_{mate}_ambiguous", "w")
+            if ambiguous and not sam else None
+        )
+        fouts[f"unm{mate}"] = (
+            open(f"{output_file}_{mate}_unmapped", "w")
+            if unmapped and not sam else None
+        )
+
+    print("[MAPPING PAIRED-END READS FROM THE FOLLOWING TWO FILES]", file=sys.stderr)
+    print(f"   {reads_file_1} (AND)\n   {reads_file_2}", file=sys.stderr)
+    print(f"[OUTPUT MAPPING RESULTS TO {output_file}]", file=sys.stderr)
+    if sam:
+        fout.write(emit.sam_head(genome_meta))
+
+    t0 = time.process_time()
+    lines = [FgetsLines(reads_file_1), FgetsLines(reads_file_2)]
+    while True:
+        batches = []
+        ranked = [None, None]
+        for pi in range(2):
+            ag_wildcard = pi == 1
+            mate_stat = stat.mate1 if pi == 0 else stat.mate2
+            batch = load_batch(lines[pi], batch_size, adaptors[pi].encode())
+            batches.append(batch)
+            if len(batch) == 0:
+                break
+            codes, lens = batch.packed()
+            streams = []
+            for (g, ht), strand in zip(tables[pi], strands):
+                per_read = backend.map_strand(
+                    codes, lens, g, ht, ag_wildcard, b, max_mismatches, pattern
+                )
+                streams.append((strand, per_read))
+                # short reads counted once per strand pass (paired.cpp:112-115)
+                mate_stat.num_of_short += int(
+                    np.sum(lens < pattern.min_read_len)
+                )
+            ranked[pi] = [
+                replay_paired_topk(
+                    [(strand, per_read[j]) for strand, per_read in streams],
+                    max_mismatches, top_k, pattern,
+                )
+                for j in range(len(batch))
+            ]
+        n0 = len(batches[0])
+        n1 = len(batches[1]) if len(batches) > 1 else 0
+        if n0 != n1:
+            if n0 == 0 and len(batches) == 1:
+                break
+            raise RuntimeError(
+                "The number of reads in paired-end files should be the same."
+            )
+        if n0 == 0:
+            break
+        stat.total_read_pairs += n0
+
+        b1, b2 = batches
+        for j in range(n0):
+            merge_pair(
+                genome_meta, ranked[0][j], ranked[1][j], b1.names[j],
+                b1.seqs[j], b1.quals[j], b2.seqs[j], b2.quals[j],
+                frag_range, max_mismatches, sam, stat, fouts, pattern,
+            )
+
+        if n0 < batch_size:
+            break
+    for ln in lines:
+        ln.close()
+    fout.close()
+    for key in ("amb1", "unm1", "amb2", "unm2"):
+        if fouts[key] is not None:
+            fouts[key].close()
+
+    with open(output_file + ".mapstats", "a") as ms:
+        ms.write(stat.tostring(pattern.min_read_len) + "\n")
+    if verbose:
+        print(f"mapping_time: {time.process_time() - t0}", file=sys.stderr)
+    return stat

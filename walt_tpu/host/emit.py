@@ -103,7 +103,6 @@ class StatPairedReads:
             f"{self.mate1.tostring(min_read_len, 1)}\n"
             "mate2:\n"
             f"{self.mate2.tostring(min_read_len, 1)}\n"
-            "\n"
         )
         total = 0.0
         lines = ["frag_len_distribution:"]

@@ -1,0 +1,148 @@
+"""Paired-end output emission: fragment merge, paired SAM, mate fallback.
+
+Byte-exact reimplementations of ``OutputBestPairedResults``
+(paired.cpp:210-294), ``GetSAMFLAG`` (paired.cpp:80-95) and
+``OutputPairedSAM`` (paired.cpp:333-435).
+"""
+
+from __future__ import annotations
+
+from walt_tpu.genome import Genome
+from walt_tpu.host.emit import revcomp
+from walt_tpu.host.replay import BestMatch
+
+
+def forward_chrom_position(genome: Genome, genome_pos: int, strand: str,
+                           chr_id: int, read_len: int):
+    """ForwardChromPosition (paired.cpp:98-104)."""
+    s = genome_pos - int(genome.start_index[chr_id])
+    if strand != "+":
+        s = int(genome.lengths[chr_id]) - s - read_len
+    return s, s + read_len
+
+
+def fragment_length(genome: Genome, r1, r2, len1: int, len2: int,
+                    chr_id1: int, chr_id2: int) -> int:
+    """GetFragmentLength (paired.cpp:320-331).  r = (mm, pos, strand)."""
+    s1, e1 = forward_chrom_position(genome, r1[1], r1[2], chr_id1, len1)
+    s2, e2 = forward_chrom_position(genome, r2[1], r2[2], chr_id2, len2)
+    return (e2 - s1) if r1[2] == "+" else (e1 - s2)
+
+
+def best_paired_mr(genome: Genome, r1, r2, frag_range: int, name: str,
+                   seq1: bytes, qual1: bytes, seq2: bytes, qual2: bytes,
+                   sam: bool, out):
+    """OutputBestPairedResults (paired.cpp:210-294).  Returns fragment len."""
+    len1, len2 = len(seq1), len(seq2)
+    seq2_rev, qual2_rev = revcomp(seq2), qual2[::-1]
+    chr_id1 = int(genome.chrom_id_of(r1[1]))
+    s1, e1 = forward_chrom_position(genome, r1[1], r1[2], chr_id1, len1)
+    chr_id2 = int(genome.chrom_id_of(r2[1]))
+    s2, e2 = forward_chrom_position(genome, r2[1], r2[2], chr_id2, len2)
+
+    overlap_s, overlap_e = max(s1, s2), min(e1, e2)
+    plus = r1[2] == "+"
+    one_l = s1 if plus else max(overlap_e, s1)
+    one_r = min(overlap_s, e1) if plus else e1
+    two_l = max(overlap_e, s2) if plus else s2
+    two_r = e2 if plus else min(overlap_s, e2)
+    frag_len = (two_r - one_l) if plus else (one_r - two_l)
+    if sam:
+        return frag_len
+
+    seq = bytearray(b"N" * frag_len)
+    qual = bytearray(b"B" * frag_len)
+    if 0 < frag_len <= frag_range:
+        lim_one = one_r - one_l
+        seq[:lim_one] = seq1[:lim_one]
+        qual[:lim_one] = qual1[:lim_one]
+        lim_two = two_r - two_l
+        if lim_two:
+            seq[frag_len - lim_two :] = seq2_rev[len2 - lim_two :]
+            qual[frag_len - lim_two :] = qual2_rev[len2 - lim_two :]
+        if overlap_s < overlap_e:
+            info_one = len1 - (seq1.count(b"N") + r1[0])
+            info_two = len2 - (seq2_rev.count(b"N") + r2[0])
+            if info_one >= info_two:
+                a = (overlap_s - s1) if plus else (e1 - overlap_e)
+                b = (overlap_e - s1) if plus else (e1 - overlap_s)
+                seq[lim_one : lim_one + (b - a)] = seq1[a:b]
+                qual[lim_one : lim_one + (b - a)] = qual1[a:b]
+            else:
+                a = (overlap_s - s2) if plus else (e2 - overlap_e)
+                b = (overlap_e - s2) if plus else (e2 - overlap_s)
+                seq[lim_one : lim_one + (b - a)] = seq2_rev[a:b]
+                qual[lim_one : lim_one + (b - a)] = qual2_rev[a:b]
+
+    start_pos = s1 if plus else s2
+    out.write(
+        f"{genome.names[chr_id1]}\t{start_pos}\t{start_pos + frag_len}\t"
+        f"FRAG:{name}\t{r1[0] + r2[0]}\t{r1[2]}\t{seq.decode()}\t{qual.decode()}\n"
+    )
+    return frag_len
+
+
+def sam_flag(paired, paired_mapped, unmapped, next_unmapped, rev, next_rev,
+             first, last, secondary) -> int:
+    """GetSAMFLAG (paired.cpp:80-95)."""
+    return (
+        (0x1 if paired else 0)
+        | (0x2 if paired_mapped else 0)
+        | (0x4 if unmapped else 0)
+        | (0x8 if next_unmapped else 0)
+        | (0x10 if rev else 0)
+        | (0x20 if next_rev else 0)
+        | (0x40 if first else 0)
+        | (0x80 if last else 0)
+        | (0x100 if secondary else 0)
+    )
+
+
+def paired_sam(bm1: BestMatch, bm2: BestMatch, genome: Genome, name: str,
+               seq1: bytes, qual1: bytes, seq2: bytes, qual2: bytes,
+               frag_len: int, flag1: int, flag2: int,
+               amb1: bool, unm1: bool, amb2: bool, unm2: bool, out) -> None:
+    """OutputPairedSAM (paired.cpp:333-435)."""
+    chr_id1 = int(genome.chrom_id_of(bm1.genome_pos))
+    chr_id2 = int(genome.chrom_id_of(bm2.genome_pos))
+    s1, _ = forward_chrom_position(genome, bm1.genome_pos, bm1.strand, chr_id1, len(seq1))
+    s2, _ = forward_chrom_position(genome, bm2.genome_pos, bm2.strand, chr_id2, len(seq2))
+
+    mismatch1, mismatch2 = bm1.mismatch, bm2.mismatch
+    if bm1.times == 0:
+        s1, mismatch1 = 0, 0
+    else:
+        s1 += 1
+    if bm2.times == 0:
+        s2, mismatch2 = 0, 0
+    else:
+        s2 += 1
+
+    len1 = frag_len if bm1.strand == "+" else -frag_len
+    len2 = frag_len if bm2.strand == "+" else -frag_len
+
+    if flag1 & 0x2:
+        rnext1 = rnext2 = "="
+    else:
+        rnext1 = "*" if bm1.times == 0 else genome.names[chr_id1]
+        rnext2 = "*" if bm2.times == 0 else genome.names[chr_id2]
+
+    so1, qo1 = (revcomp(seq1), qual1[::-1]) if bm1.strand == "-" else (seq1, qual1)
+    so2, qo2 = (revcomp(seq2), qual2[::-1]) if bm2.strand == "-" else (seq2, qual2)
+
+    def line(bm, flag, s_self, s_mate, rnext, chr_id, tlen, so, qo, mm, amb, unm):
+        if bm.times == 0:
+            if unm:
+                out.write(
+                    f"{name}\t{flag}\t*\t{s_self}\t255\t*\t{rnext}\t{s_mate}\t"
+                    f"{tlen}\t{so.decode()}\t{qo.decode()}\tNM:i:{mm}\n"
+                )
+        elif bm.times == 1 or (bm.times >= 2 and amb):
+            out.write(
+                f"{name}\t{flag}\t{genome.names[chr_id]}\t{s_self}\t255\t"
+                f"{len(so)}M\t{rnext}\t{s_mate}\t{tlen}\t{so.decode()}\t"
+                f"{qo.decode()}\tNM:i:{mm}\n"
+            )
+
+    line(bm1, flag1, s1, s2, rnext2, chr_id1, len1, so1, qo1, mismatch1, amb1, unm1)
+    line(bm2, flag2, s2, s1, rnext1, chr_id2, len2, so2, qo2, mismatch2, amb2, unm2)
