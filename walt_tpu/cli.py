@@ -1,0 +1,179 @@
+"""Command-line drivers: ``waltx`` (mapper) and ``waltx index`` (indexer).
+
+Flag names, defaults and validation mirror the reference CLIs
+(``src/walt/walt.cpp:130-246`` and ``src/walt/makedb.cpp:93-128``) so
+existing WALT invocations can be replayed verbatim, plus TPU-specific
+extensions (backend/pattern/mesh options).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+MAX_BATCH = 100_000_000  # walt.cpp:119
+FASTQ_SUFFIXES = (".fastq", ".fq")  # walt.cpp:92
+
+
+def _split_filenames(csv: str):
+    """Comma- or space-separated list (walt.cpp:47-55)."""
+    return [s for s in csv.replace(",", " ").split() if s]
+
+
+def _validate_index(index: str) -> None:
+    """walt.cpp:67-85."""
+    if not os.path.isfile(index):
+        raise SystemExit(f"bad index file: {index}")
+    for suf in ("_CT00", "_CT01", "_GA10", "_GA11"):
+        if not os.path.isfile(index + suf):
+            raise SystemExit(f"bad table file: {index + suf}")
+
+
+def build_map_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="waltx", description="map Illumina BS-seq reads (TPU-native WALT)"
+    )
+    a = p.add_argument
+    a("-i", "-index", "--index", dest="index", required=True,
+      help="index file created by 'waltx index' or WALT makedb (.dbindex)")
+    a("-r", "-reads", "--reads", dest="reads", default="",
+      help="comma-sep list of single-end read files (.fastq/.fq)")
+    a("-1", "-reads1", "--reads1", dest="reads1", default="",
+      help="comma-sep list of mate-1 read files")
+    a("-2", "-reads2", "--reads2", dest="reads2", default="",
+      help="comma-sep list of mate-2 read files")
+    a("-o", "-output", "--output", dest="output", required=True,
+      help="output file names (comma sep)")
+    a("-m", "-mismatch", "--mismatch", dest="mismatch", type=int, default=6,
+      help="max allowed mismatches")
+    a("-N", "-number", "--number", dest="batch", type=int, default=10_000_000,
+      help="number of reads per batch")
+    a("-a", "-ambiguous", "--ambiguous", dest="ambiguous", action="store_true",
+      help="output one random location for ambiguously mapped reads")
+    a("-u", "-unmapped", "--unmapped", dest="unmapped", action="store_true",
+      help="output unmapped reads in separate file")
+    a("-C", "-clip", "--clip", dest="adaptor", default="",
+      help="clip the specified adaptor")
+    a("-A", "-ag-wild", "--ag-wild", dest="ag_wildcard", action="store_true",
+      help="map using A/G bisulfite wildcards (single-end)")
+    a("-b", "-bucket", "--bucket", dest="bucket", type=int, default=5000,
+      help="maximum candidates for a seed")
+    a("-k", "-topk", "--topk", dest="top_k", type=int, default=50,
+      help="maximum allowed mappings for a read (paired-end)")
+    a("-L", "-fraglen", "--fraglen", dest="fraglen", type=int, default=1000,
+      help="max fragment length (paired-end)")
+    a("-sam", "--sam", dest="sam", action="store_true", help="output SAM format")
+    a("-v", "-verbose", "--verbose", dest="verbose", action="store_true")
+    a("-t", "-thread", "--thread", dest="threads", type=int, default=1,
+      help="accepted for WALT compatibility (parallelism is the device mesh)")
+    # TPU-native extensions
+    a("--backend", default="jax", choices=("jax", "numpy"),
+      help="candidate enumeration backend (jax=TPU, numpy=host oracle)")
+    a("--seed-pattern", default="3", choices=("3", "5", "7"),
+      help="spaced seed pattern (reference compile-time -D SEEDPATTERN*)")
+    return p
+
+
+def main_map(argv=None) -> int:
+    args = build_map_parser().parse_args(argv)
+    _validate_index(args.index)
+
+    se_files = _split_filenames(args.reads)
+    pe1 = _split_filenames(args.reads1)
+    pe2 = _split_filenames(args.reads2)
+    if len(pe1) != len(pe2):
+        raise SystemExit("unequal number of end1 and end2 files")
+    for f in se_files + pe1 + pe2:
+        if not f.endswith(FASTQ_SUFFIXES):
+            raise SystemExit(f"read file invalid suffix: {f}")
+
+    outputs = _split_filenames(args.output)
+    n_runs = len(se_files) + len(pe1)
+    if len(outputs) != 1 and len(outputs) != n_runs:
+        raise SystemExit(f"wrong number of output files: {args.output}")
+    if len(outputs) == 1:
+        outputs = outputs * n_runs
+
+    if args.batch > MAX_BATCH:
+        raise SystemExit(f"batch size may not exceed {MAX_BATCH}")
+    if not (2 <= args.top_k <= 300):
+        raise SystemExit("paired-end candidates must be in [2, 300]")
+
+    # clear output files so later appends make sense (walt.cpp:229-233)
+    for out in outputs:
+        open(out, "w").close()
+        open(out + ".mapstats", "w").close()
+
+    from walt_tpu.core.backends import get_backend
+
+    backend = get_backend(args.backend)
+
+    oi = 0
+    from walt_tpu.core.single_end import process_single_end
+
+    for f in se_files:
+        process_single_end(
+            args.index, f, outputs[oi], batch_size=args.batch,
+            max_mismatches=args.mismatch, b=args.bucket, adaptor=args.adaptor,
+            ag_wildcard=args.ag_wildcard, ambiguous=args.ambiguous,
+            unmapped=args.unmapped, sam=args.sam, backend=backend,
+            pattern_name=args.seed_pattern, verbose=args.verbose,
+        )
+        oi += 1
+
+    from walt_tpu.core.paired_end import process_paired_end
+
+    for f1, f2 in zip(pe1, pe2):
+        process_paired_end(
+            args.index, f1, f2, outputs[oi], batch_size=args.batch,
+            max_mismatches=args.mismatch, b=args.bucket, adaptor=args.adaptor,
+            top_k=args.top_k, frag_range=args.fraglen,
+            ambiguous=args.ambiguous, unmapped=args.unmapped, sam=args.sam,
+            backend=backend, pattern_name=args.seed_pattern,
+            verbose=args.verbose,
+        )
+        oi += 1
+    return 0
+
+
+def main_index(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="waltx index", description="build index for reference genome"
+    )
+    p.add_argument("-c", "-chrom", "--chrom", dest="chrom", required=True,
+                   help="chromosomes in FASTA file or dir ('.fa')")
+    p.add_argument("-o", "-output", "--output", dest="output", required=True,
+                   help="output file name (suffix '.dbindex')")
+    p.add_argument("--seed-pattern", default="3", choices=("3", "5", "7"))
+    p.add_argument("--rand-seed", type=int, default=0,
+                   help="seed for non-ACGT randomization (reference uses "
+                        "time(NULL), which is irreproducible)")
+    args = p.parse_args(argv)
+    if not args.output.endswith(".dbindex"):
+        raise SystemExit("The suffix of the output file should be '.dbindex'")
+
+    from walt_tpu.constants import get_pattern
+    from walt_tpu.genome import identify_chromosomes
+    from walt_tpu.index.build import build_all_tables
+    from walt_tpu.index.io_walt import write_index
+
+    files = identify_chromosomes(args.chrom)
+    genome, tables = build_all_tables(
+        files, get_pattern(args.seed_pattern), seed=args.rand_seed
+    )
+    write_index(args.output, genome, tables)
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "index":
+        return main_index(argv[1:])
+    if argv and argv[0] == "map":
+        argv = argv[1:]
+    return main_map(argv)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

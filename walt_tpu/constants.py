@@ -195,8 +195,8 @@ def get_pattern(name: str = "3") -> SeedPattern:
         return _generate(
             "5",
             (1, 0, 1, 0, 0),
-            min_read_len=42,
-            min_seed_len=40,
+            min_read_len=32,
+            min_seed_len=30,
             cared_size=56,
             nocared_lens=(84, 85, 86, 87, 88),
             exit1_seed=2,

@@ -113,32 +113,29 @@ def _sort_key_columns(genome: Genome, idx: np.ndarray, pattern: SeedPattern):
     return cols
 
 
-def sort_buckets_numpy(genome: Genome, counter: np.ndarray, idx: np.ndarray,
+def sort_buckets_numpy(genome: Genome, bucket_of: np.ndarray, idx: np.ndarray,
                        pattern: SeedPattern) -> np.ndarray:
-    """Within-bucket sort, NumPy fallback (stable; see module docstring)."""
+    """Within-bucket sort, NumPy fallback (stable; see module docstring).
+
+    ``bucket_of[i]`` is the hash key of entry ``idx[i]`` (entries already
+    grouped by key).  One global stable lexsort with the key as the most
+    significant column sorts every bucket at once.
+    """
     if idx.shape[0] == 0:
         return idx
     cols = _sort_key_columns(genome, idx, pattern)
-    # One global stable lexsort: primary key = bucket (already grouped by
-    # position in the CSR fill), then the cared columns.  We emulate by
-    # sorting within the existing grouping using the bucket id as the most
-    # significant key.
-    bucket_of = np.repeat(
-        np.arange(counter.shape[0] - 1, dtype=np.uint32), np.diff(counter).astype(np.int64)
-    )
     order = np.lexsort(list(reversed(cols)) + [bucket_of])
     return idx[order]
 
 
-def sort_buckets(genome: Genome, counter: np.ndarray, idx: np.ndarray,
+def sort_buckets(genome: Genome, bucket_of: np.ndarray, idx: np.ndarray,
                  pattern: SeedPattern) -> np.ndarray:
     """Within-bucket sort; uses the native library when available."""
     try:
         from walt_tpu.host.native import native_sort_buckets
-
-        return native_sort_buckets(genome, counter, idx, pattern)
     except Exception:
-        return sort_buckets_numpy(genome, counter, idx, pattern)
+        return sort_buckets_numpy(genome, bucket_of, idx, pattern)
+    return native_sort_buckets(genome, bucket_of, idx, pattern)
 
 
 def build_table(genome: Genome, conversion: str, pattern: SeedPattern | None = None,
@@ -178,7 +175,7 @@ def build_table(genome: Genome, conversion: str, pattern: SeedPattern | None = N
     # identical to the reference's counting-sort fill (reference.cpp:231-256).
     order = np.argsort(keys, kind="stable")
     idx = pos[order]
-    idx = sort_buckets(g, counter, idx, pattern)
+    idx = sort_buckets(g, keys[order], idx, pattern)
     return g, HashTable(counter=counter, index=idx)
 
 
