@@ -1,0 +1,116 @@
+"""Device-resident index: packed lookup keys over the CSR hash table.
+
+The reference refines a hash bucket by binary-searching one cared position at
+a time, re-reading the genome at every probe (mapping.cpp:166-222).  On TPU
+every probe is an HBM gather, so the refinement is restructured around
+*precomputed packed keys*: for every index entry, the raw genome bases at
+cared positions 12..59 are packed 2 bits each into three uint32 words.  The
+whole refinement then becomes two masked-prefix binary searches (lower/upper
+bound) of ~log2(bucket) probes each, instead of 48 x 2 searches.
+
+Semantics note: the reference's lookup compares raw concatenated-genome
+bytes, which cross chromosome boundaries, and its sort order treats
+past-the-chromosome positions specially (reference.cpp:258-288), so raw
+order and sort order can disagree for entries within cared[59] (=178) bases
+of a chromosome end.  Buckets containing such entries are flagged at load
+time and routed to the exact host fallback; everywhere else the raw order is
+monotone and the packed-key equal-range search is exactly the reference's
+refined region.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from walt_tpu.constants import SeedPattern
+from walt_tpu.genome import Genome
+from walt_tpu.index.build import HashTable
+
+#: positions per packed 32-bit key word (2 bits per base)
+POS_PER_WORD = 16
+N_KEY_WORDS = 3  # cared positions 12..59
+
+
+@dataclasses.dataclass
+class DeviceTable:
+    """One converted-genome table, ready to be placed on device."""
+
+    seq: np.ndarray  # uint8 (G + pad,), LOOKUP-padded converted genome
+    counter: np.ndarray  # uint32 (4^12 + 1,)
+    index: np.ndarray  # uint32 (n,)
+    key_words: np.ndarray  # uint32 (n, 3) packed cared[12..59]
+    start_index: np.ndarray  # uint32 (n_chroms + 1,)
+    bucket_flagged: np.ndarray  # bool (4^12,), host-fallback buckets
+    max_bucket_bits: int  # static: iterations for the binary search
+    strand: str
+
+    def nbytes(self) -> int:
+        return (
+            self.seq.nbytes + self.counter.nbytes + self.index.nbytes
+            + self.key_words.nbytes + self.bucket_flagged.nbytes
+        )
+
+
+def pack_key_words(seq_padded: np.ndarray, entries: np.ndarray,
+                   pattern: SeedPattern) -> np.ndarray:
+    """Pack raw genome bases at cared[12..59] into (n, 3) uint32 words.
+
+    Word w holds cared positions 12+16w .. 27+16w, first position in the two
+    most significant bits, so unsigned comparison of a masked word equals
+    lexicographic comparison of the bases.
+    """
+    n = entries.shape[0]
+    words = np.zeros((n, N_KEY_WORDS), dtype=np.uint32)
+    kw = pattern.key_weight
+    e64 = entries.astype(np.int64)
+    for w in range(N_KEY_WORDS):
+        acc = np.zeros(n, dtype=np.uint32)
+        for i in range(POS_PER_WORD):
+            p = kw + w * POS_PER_WORD + i
+            if p >= pattern.cared_size:
+                acc <<= np.uint32(2)
+                continue
+            off = int(pattern.cared[p])
+            # & 3: past-the-genome pad bytes only occur in flagged buckets
+            # (whose keys are never used); keep them from polluting the word.
+            acc = (acc << np.uint32(2)) | (
+                seq_padded[e64 + off].astype(np.uint32) & np.uint32(3)
+            )
+        words[:, w] = acc
+    return words
+
+
+def build_device_table(genome: Genome, table: HashTable,
+                       pattern: SeedPattern) -> DeviceTable:
+    """Prepare one table for the device pipeline (host-side, NumPy)."""
+    from walt_tpu.core.refmap import padded_seq
+
+    seq = padded_seq(genome, pattern)
+    # Entries whose deep cared positions run past their chromosome: their
+    # bucket's raw order may differ from the sorted order the reference
+    # binary-searches, so those buckets take the exact host path.
+    idx = table.index.astype(np.int64)
+    chrom_id = genome.chrom_id_of(idx)
+    remain = genome.start_index.astype(np.int64)[chrom_id + 1] - idx
+    short = np.flatnonzero(remain <= int(pattern.cared[-1]))
+    flagged = np.zeros(pattern.n_buckets, dtype=bool)
+    if short.size:
+        buckets = np.searchsorted(table.counter, short, side="right") - 1
+        flagged[buckets] = True
+
+    key_words = pack_key_words(seq, table.index, pattern)
+
+    sizes = np.diff(table.counter.astype(np.int64))
+    max_bucket = int(sizes.max()) if sizes.size else 1
+    return DeviceTable(
+        seq=seq,
+        counter=table.counter,
+        index=table.index,
+        key_words=key_words,
+        start_index=genome.start_index,
+        bucket_flagged=flagged,
+        max_bucket_bits=max(1, int(np.ceil(np.log2(max_bucket + 1)))),
+        strand=genome.strand,
+    )

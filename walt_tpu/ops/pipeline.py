@@ -1,0 +1,209 @@
+"""The jitted device mapping pipeline: seed -> refine -> verify -> compact.
+
+One XLA program maps a fixed-shape read batch against one table:
+
+1. seed hashing: gather 12 cared bases per (read, shift), pack to a bucket
+   key (util.hpp:175-182);
+2. bucket refinement: two masked-prefix binary searches over the packed key
+   words (see ops/device_index.py) -- the equal range equals the reference's
+   IndexRegion result (mapping.cpp:198-222) for unflagged buckets;
+3. the -b cap (mapping.cpp:275-277) and boundary rejections
+   (mapping.cpp:281-286);
+4. verification: batched full-Hamming compare of the converted read against
+   gathered genome windows (equals the reference's no-cared + tail count;
+   see core/refmap.py), with the pattern-typo corrections;
+5. ordered compaction of candidates with mismatch <= -m into a fixed slab,
+   preserving (seed asc, bucket position asc) examination order for the host
+   replay.
+
+Reads that exceed any fixed shape (refined region > VERIFY_SLAB, more than
+CAND_SLAB surviving candidates) or touch a flagged bucket raise a per-read
+fallback bit; the driver remaps those few reads with the exact host path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from walt_tpu.constants import SeedPattern, get_pattern
+
+#: max refined-region entries verified on device per (read, seed)
+VERIFY_SLAB = 64
+#: max surviving candidates per (read, strand)
+CAND_SLAB = 32
+
+
+def _lex_ge_gt(e0, e1, e2, r0, r1, r2):
+    """Lexicographic (entry >= read, entry > read) on 3 masked words."""
+    gt = (e0 > r0) | ((e0 == r0) & ((e1 > r1) | ((e1 == r1) & (e2 > r2))))
+    eq = (e0 == r0) & (e1 == r1) & (e2 == r2)
+    return gt | eq, gt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pattern_name", "ag_wildcard", "search_bits", "verify_slab", "cand_slab",
+    ),
+)
+def map_strand_device(reads, lens, b, max_mm, seq, counter, index, key_words,
+                      start_index, bucket_flagged, *, pattern_name: str,
+                      ag_wildcard: bool, search_bits: int,
+                      verify_slab: int = VERIFY_SLAB,
+                      cand_slab: int = CAND_SLAB):
+    """Map a read batch against one table.
+
+    reads: (B, Lmax) uint8 codes (PAD_CODE padded); lens: (B,) int32.
+    Returns (cand_seed i8, cand_pos u32, cand_mm i32, cand_cnt i32,
+    fallback bool) with slab axis cand_slab.
+    """
+    pattern = get_pattern(pattern_name)
+    plen = pattern.pattern_len
+    kw = pattern.key_weight
+    cared = jnp.asarray(pattern.cared, dtype=jnp.int32)
+    B, Lmax = reads.shape
+    n_entries = index.shape[0]
+
+    # --- read conversion (mapping.cpp:142-164); PAD_CODE is unaffected ---
+    if ag_wildcard:
+        conv = jnp.where(reads == 2, jnp.uint8(0), reads)
+    else:
+        conv = jnp.where(reads == 1, jnp.uint8(3), reads)
+
+    read_ok = lens >= pattern.min_read_len  # (B,)
+    repeats = jnp.minimum((lens - plen + 1) // plen, pattern.max_repeats())
+    seed_len = jnp.minimum(repeats * pattern.cared_weight, pattern.cared_size)
+
+    shifts = jnp.arange(plen, dtype=jnp.int32)  # (S,)
+
+    # --- seed hash keys: (B, S) ---
+    posk = shifts[:, None] + cared[None, :kw]  # (S, kw)
+    vals = jnp.take(conv, posk, axis=1, mode="clip").astype(jnp.uint32) & 3
+    key = jnp.zeros((B, plen), dtype=jnp.uint32)
+    for i in range(kw):
+        key = (key << 2) | vals[:, :, i]
+
+    lo = counter[key].astype(jnp.int32)  # (B, S)
+    hi = counter[key + 1].astype(jnp.int32)
+    flagged = bucket_flagged[key]  # (B, S)
+
+    # --- read prefix key words + per-read masks ---
+    rwords = []
+    for w in range(3):
+        acc = jnp.zeros((B, plen), dtype=jnp.uint32)
+        for i in range(16):
+            p = kw + w * 16 + i
+            if p < pattern.cared_size:
+                pos = shifts[None, :] + cared[p]
+                v = jnp.take_along_axis(
+                    conv, jnp.minimum(pos, Lmax - 1).astype(jnp.int32), axis=1
+                ).astype(jnp.uint32) & 3
+            else:
+                v = jnp.zeros((B, plen), dtype=jnp.uint32)
+            acc = (acc << 2) | v
+        rwords.append(acc)
+    # number of compared positions per word, from per-read seed_len
+    masks = []
+    for w in range(3):
+        nbits = jnp.clip(seed_len[:, None] - kw - 16 * w, 0, 16) * 2  # (B,1)
+        shift = jnp.clip(32 - nbits, 0, 31).astype(jnp.uint32)
+        m = jnp.where(
+            nbits > 0, jnp.uint32(0xFFFFFFFF) << shift, jnp.uint32(0)
+        )
+        masks.append(jnp.broadcast_to(m, (B, plen)))
+    r0, r1, r2 = (rw & m for rw, m in zip(rwords, masks))
+
+    def probe(mid):
+        kws = key_words[jnp.clip(mid, 0, n_entries - 1)]  # (B, S, 3)
+        e0 = kws[..., 0] & masks[0]
+        e1 = kws[..., 1] & masks[1]
+        e2 = kws[..., 2] & masks[2]
+        return _lex_ge_gt(e0, e1, e2, r0, r1, r2)
+
+    def bsearch(pred_is_gt):
+        def body(_, lr):
+            l, r = lr
+            mid = (l + r) // 2
+            ge, gt = probe(mid)
+            pred = gt if pred_is_gt else ge
+            active = l < r
+            r = jnp.where(active & pred, mid, r)
+            l = jnp.where(active & ~pred, mid + 1, l)
+            return l, r
+
+        l, _ = jax.lax.fori_loop(0, search_bits, body, (lo, hi))
+        return l
+
+    lower = bsearch(False)  # first entry >= read prefix
+    upper = bsearch(True)  # first entry > read prefix
+    cnt = upper - lower  # refined region size (B, S)
+
+    capped = cnt > b  # seed skipped entirely (mapping.cpp:275-277)
+    overflow = (~capped) & (cnt > verify_slab)
+    eff = jnp.where(capped | overflow | ~read_ok[:, None], 0, cnt)
+
+    # --- verify the refined slab ---
+    j = jnp.arange(verify_slab, dtype=jnp.int32)
+    slot = lower[:, :, None] + j[None, None, :]
+    entry = index[jnp.clip(slot, 0, n_entries - 1)].astype(jnp.int32)  # (B,S,C)
+    chrom = (
+        jnp.searchsorted(start_index.astype(jnp.int32), entry, side="right") - 1
+    )
+    ch_start = start_index.astype(jnp.int32)[chrom]
+    ch_end = start_index.astype(jnp.int32)[jnp.minimum(chrom + 1, start_index.shape[0] - 1)]
+    seed_b = shifts[None, :, None]
+    ok_head = (entry - ch_start) >= seed_b  # mapping.cpp:282-283
+    gpos = entry - seed_b
+    ok_tail = (gpos + lens[:, None, None]) < ch_end  # mapping.cpp:285 ('>=' skips)
+
+    p = jnp.arange(Lmax, dtype=jnp.int32)
+    widx = gpos[..., None] + p
+    win = seq[jnp.clip(widx, 0, seq.shape[0] - 1)]  # (B, S, C, Lmax)
+    neq = (win != conv[:, None, None, :]) & (p[None, None, None, :] < lens[:, None, None, None])
+    mm = jnp.sum(neq, axis=-1, dtype=jnp.int32)
+    for shift, min_rep, posn in pattern.verify_skip:
+        if posn < Lmax:
+            cond = (
+                (seed_b == shift)
+                & (repeats[:, None, None] >= min_rep)
+                & (posn < lens[:, None, None])
+                & neq[..., posn]
+            )
+            mm = mm - cond.astype(jnp.int32)
+
+    keep = (j[None, None, :] < eff[:, :, None]) & ok_head & ok_tail & (mm <= max_mm)
+
+    # --- ordered compaction into the candidate slab ---
+    S = pattern.pattern_len
+    keep_f = keep.reshape(B, S * verify_slab)
+    dest = jnp.cumsum(keep_f, axis=1) - 1
+    dest = jnp.where(keep_f, dest, cand_slab)  # dropped by scatter mode
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    def compact(vals, fill, dtype):
+        out = jnp.full((B, cand_slab), fill, dtype=dtype)
+        return out.at[rows, dest].set(
+            vals.reshape(B, S * verify_slab).astype(dtype), mode="drop"
+        )
+
+    seed_tags = jnp.broadcast_to(seed_b, keep.shape)
+    cand_seed = compact(seed_tags, -1, jnp.int8)
+    cand_pos = compact(gpos, 0, jnp.uint32)
+    cand_mm = compact(mm, 0, jnp.int32)
+    cand_cnt = jnp.sum(keep_f, axis=1, dtype=jnp.int32)
+
+    fallback = (
+        jnp.any(overflow, axis=1)
+        # flagged buckets: the refined region itself is unreliable, so any
+        # nonempty flagged bucket sends the read to the exact host path
+        | jnp.any(flagged & (hi > lo), axis=1) & read_ok
+        # packed key words cover cared positions kw..kw+47 only; longer
+        # seeds (pattern 7 reads > 111bp) need the host path
+        | (seed_len > kw + 48)
+        | (cand_cnt > cand_slab)
+    )
+    return cand_seed, cand_pos, cand_mm, jnp.minimum(cand_cnt, cand_slab), fallback
