@@ -1,0 +1,82 @@
+"""Multi-chip sharded pipeline vs the single-device pipeline (CPU mesh)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+
+    from walt_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(jax.devices()[:8], tp=2)
+
+
+def test_sharded_matches_single_device(mesh8):
+    import jax.numpy as jnp
+
+    from walt_tpu.constants import PAD_CODE, get_pattern
+    from walt_tpu.ops import pipeline
+    from walt_tpu.parallel import map_strand_sharded, shard_device_table
+    from walt_tpu.synth import build_synthetic_table, sample_reads
+
+    pattern = get_pattern("3")
+    genome, conv_genome, table, dt = build_synthetic_table(120_000, seed=3)
+    codes, lens, _ = sample_reads(genome, 64, 80, seed=5)
+    B, L = 64, 96
+    padded = np.full((B, L), PAD_CODE, dtype=np.uint8)
+    padded[:, : codes.shape[1]] = codes
+
+    ref = [
+        np.asarray(x)
+        for x in pipeline.map_strand_device(
+            jnp.asarray(padded), jnp.asarray(lens), jnp.int32(5000),
+            jnp.int32(6), jnp.asarray(dt.seq), jnp.asarray(dt.counter),
+            jnp.asarray(dt.index), jnp.asarray(dt.key_words),
+            jnp.asarray(dt.start_index), jnp.asarray(dt.bucket_flagged),
+            pattern_name="3", ag_wildcard=False,
+            search_bits=dt.max_bucket_bits,
+        )
+    ]
+
+    st = shard_device_table(dt, 2)
+    got = [
+        np.asarray(x)
+        for x in map_strand_sharded(
+            jnp.asarray(padded), jnp.asarray(lens), jnp.int32(5000),
+            jnp.int32(6), jnp.asarray(st.key_base), jnp.asarray(st.counter),
+            jnp.asarray(st.index), jnp.asarray(st.key_words),
+            jnp.asarray(st.bucket_flagged), jnp.asarray(st.seq),
+            jnp.asarray(st.start_index), mesh=mesh8, pattern_name="3",
+            ag_wildcard=False, search_bits=st.max_bucket_bits,
+        )
+    ]
+
+    # same candidates in the same order for non-fallback reads
+    ok = ~(ref[4] | got[4])
+    assert ok.sum() >= B - 2
+    np.testing.assert_array_equal(ref[3][ok], got[3][ok])
+    for k in range(3):
+        for i in np.flatnonzero(ok):
+            c = int(ref[3][i])
+            np.testing.assert_array_equal(ref[k][i, :c], got[k][i, :c])
+    assert int(ref[3][ok].sum()) > 0
+
+
+def test_shard_device_table_roundtrip():
+    from walt_tpu.parallel import shard_device_table
+    from walt_tpu.synth import build_synthetic_table
+
+    _, _, table, dt = build_synthetic_table(60_000, seed=1)
+    st = shard_device_table(dt, 4)
+    nb = dt.counter.shape[0] - 1
+    assert st.counter.shape == (4, nb // 4 + 1)
+    # every entry is preserved exactly once, in order
+    rebuilt = []
+    for s in range(4):
+        n = int(st.counter[s][-1])
+        rebuilt.append(st.index[s][:n])
+    np.testing.assert_array_equal(np.concatenate(rebuilt), dt.index)

@@ -1,11 +1,11 @@
 """JAX/TPU mapping backend.
 
 Wraps the jitted device pipeline (walt_tpu.ops.pipeline): prepares
-device-resident tables (packed lookup keys), pads batches to stable shapes
-to avoid recompiles, and converts the returned candidate slabs into the
-ordered streams the host replay consumes.  Reads whose candidates do not fit
-the fixed device shapes (or touch flagged buckets) are remapped with the
-exact NumPy path -- output is identical either way.
+device-resident tables (packed lookup keys), tiles batches into fixed-shape
+chunks (one compile per (chunk, Lmax) shape, reused across batches), and
+returns candidate slabs.  Reads whose candidates do not fit the fixed device
+shapes (or touch flagged buckets) are flagged for the exact NumPy path --
+output is identical either way.
 """
 
 from __future__ import annotations
@@ -29,10 +29,10 @@ def _round_up(x: int, m: int) -> int:
 class JaxBackend:
     name = "jax"
 
-    def __init__(self, batch_pad: int = 512, len_pad: int = 32,
+    def __init__(self, chunk: int = 8192, len_pad: int = 32,
                  verify_slab: int = pipeline.VERIFY_SLAB,
                  cand_slab: int = pipeline.CAND_SLAB):
-        self.batch_pad = batch_pad
+        self.chunk = chunk
         self.len_pad = len_pad
         self.verify_slab = verify_slab
         self.cand_slab = cand_slab
@@ -58,39 +58,64 @@ class JaxBackend:
             )
         return self._tables[key]
 
-    def map_strand(self, codes: np.ndarray, lens: np.ndarray, genome: Genome,
-                   table: HashTable, ag_wildcard: bool, b: int,
-                   max_mismatches: int, pattern: SeedPattern) -> list:
+    def map_strand_slabs(self, codes: np.ndarray, lens: np.ndarray,
+                         genome: Genome, table: HashTable, ag_wildcard: bool,
+                         b: int, max_mismatches: int, pattern: SeedPattern):
+        """Candidate slabs for a batch against one table.
+
+        Returns (cand_seed (n,C) int8, cand_pos (n,C) uint32,
+        cand_mm (n,C) int32, cand_cnt (n,) int32, fallback (n,) bool).
+        """
         n = codes.shape[0]
-        if n == 0:
-            return []
         dt, dev = self._device_table(genome, table, pattern)
+        Lmax = _round_up(max(int(codes.shape[1]), pattern.min_read_len),
+                         self.len_pad)
+        C = self.cand_slab
+        out_seed = np.empty((n, C), dtype=np.int8)
+        out_pos = np.empty((n, C), dtype=np.uint32)
+        out_mm = np.empty((n, C), dtype=np.int32)
+        out_cnt = np.empty(n, dtype=np.int32)
+        out_fb = np.empty(n, dtype=bool)
 
-        B = _round_up(n, self.batch_pad)
-        Lmax = _round_up(max(int(codes.shape[1]), pattern.min_read_len), self.len_pad)
-        padded = np.full((B, Lmax), PAD_CODE, dtype=np.uint8)
-        padded[:n, : codes.shape[1]] = codes
-        plens = np.zeros(B, dtype=np.int32)
-        plens[:n] = lens
-
-        cand_seed, cand_pos, cand_mm, cand_cnt, fallback = (
-            np.asarray(x)
-            for x in pipeline.map_strand_device(
+        chunk = min(self.chunk, _round_up(max(n, 1), 256))
+        for a in range(0, n, chunk):
+            z = min(a + chunk, n)
+            padded = np.full((chunk, Lmax), PAD_CODE, dtype=np.uint8)
+            padded[: z - a, : codes.shape[1]] = codes[a:z]
+            plens = np.zeros(chunk, dtype=np.int32)
+            plens[: z - a] = lens[a:z]
+            cs, cp, cm, cc, fb = pipeline.map_strand_device(
                 jnp.asarray(padded), jnp.asarray(plens),
                 jnp.int32(b), jnp.int32(max_mismatches),
                 pattern_name=pattern.name, ag_wildcard=ag_wildcard,
                 search_bits=dt.max_bucket_bits,
-                verify_slab=self.verify_slab, cand_slab=self.cand_slab,
+                verify_slab=self.verify_slab, cand_slab=C,
                 **dev,
             )
-        )
+            out_seed[a:z] = np.asarray(cs)[: z - a]
+            out_pos[a:z] = np.asarray(cp)[: z - a]
+            out_mm[a:z] = np.asarray(cm)[: z - a]
+            out_cnt[a:z] = np.asarray(cc)[: z - a]
+            out_fb[a:z] = np.asarray(fb)[: z - a]
 
         self.total_reads += n
+        self.fallback_reads += int(out_fb.sum())
+        return out_seed, out_pos, out_mm, out_cnt, out_fb
+
+    def map_strand(self, codes: np.ndarray, lens: np.ndarray, genome: Genome,
+                   table: HashTable, ag_wildcard: bool, b: int,
+                   max_mismatches: int, pattern: SeedPattern) -> list:
+        """Per-read ordered candidate lists (exact; slabs + host fallback)."""
+        n = codes.shape[0]
+        if n == 0:
+            return []
+        cand_seed, cand_pos, cand_mm, cand_cnt, fallback = self.map_strand_slabs(
+            codes, lens, genome, table, ag_wildcard, b, max_mismatches, pattern
+        )
         out = []
         seq_padded = None
         for i in range(n):
             if fallback[i]:
-                self.fallback_reads += 1
                 if seq_padded is None:
                     seq_padded = refmap.padded_seq(genome, pattern)
                 out.append(

@@ -116,19 +116,18 @@ def enumerate_candidates(read_codes: np.ndarray, genome: Genome, ht: HashTable,
         l, u = region
         if u - l + 1 > b:
             continue
-        for j in range(l, u + 1):
-            entry = int(ht.index[j])
-            chr_id = int(np.searchsorted(start_index, entry, side="right")) - 1
-            if entry - int(start_index[chr_id]) < seed_i:
-                continue
-            gpos = entry - seed_i
-            if gpos + read_len >= int(start_index[chr_id + 1]):
-                continue
-            win = seq[gpos : gpos + read_len]
-            mm = int(np.count_nonzero(win != read))
-            # pattern-typo corrections (see constants.SeedPattern.verify_skip)
-            for shift, min_rep, p in pattern.verify_skip:
-                if seed_i == shift and repeats >= min_rep and win[p] != read[p]:
-                    mm -= 1
-            if mm <= max_mismatches:
-                yield seed_i, gpos, mm
+        # vectorized verification of the whole refined region
+        entries = ht.index[l : u + 1].astype(np.int64)
+        chr_id = np.searchsorted(start_index, entries, side="right") - 1
+        ok = (entries - start_index[chr_id]) >= seed_i
+        gpos = entries - seed_i
+        ok &= (gpos + read_len) < start_index[chr_id + 1]
+        win = seq[gpos[:, None] + np.arange(read_len)]
+        mm = np.count_nonzero(win != read, axis=1).astype(np.int64)
+        # pattern-typo corrections (see constants.SeedPattern.verify_skip)
+        for shift, min_rep, p in pattern.verify_skip:
+            if seed_i == shift and repeats >= min_rep:
+                mm -= (win[:, p] != read[p]).astype(np.int64)
+        ok &= mm <= max_mismatches
+        for j in np.flatnonzero(ok):
+            yield seed_i, int(gpos[j]), int(mm[j])

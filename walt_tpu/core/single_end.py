@@ -13,6 +13,7 @@ import sys
 import time
 
 from walt_tpu.constants import get_pattern
+from walt_tpu.core import refmap
 from walt_tpu.host import emit
 from walt_tpu.host.fastq import FgetsLines, load_batch
 from walt_tpu.host.replay import BestMatch, replay_single
@@ -59,12 +60,43 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
             break
         codes, lens = batch.packed()
 
-        streams = []
-        for (g, ht), strand in zip(tables, strands):
-            per_read = backend.map_strand(
-                codes, lens, g, ht, ag_wildcard, b, max_mismatches, pattern
+        streams = None
+        if hasattr(backend, "map_strand_slabs"):
+            # vectorized path: device slabs -> batched best-hit fold; only
+            # reads the fixed shapes could not hold replay the exact path
+            import numpy as np
+
+            from walt_tpu.host.replay_vec import replay_single_batch
+
+            slabs, fb_any = [], None
+            for (g, ht), strand in zip(tables, strands):
+                cs, cp, cm, cc, fb = backend.map_strand_slabs(
+                    codes, lens, g, ht, ag_wildcard, b, max_mismatches, pattern
+                )
+                slabs.append((cs, cp, cm))
+                fb_any = fb if fb_any is None else (fb_any | fb)
+            v_pos, v_times, v_minus, v_mm = replay_single_batch(
+                slabs, max_mismatches, pattern
             )
-            streams.append((strand, per_read))
+            exact = {}
+            for i in np.flatnonzero(fb_any):
+                exact[int(i)] = replay_single(
+                    [
+                        (strand, refmap.enumerate_candidates(
+                            codes[i, : int(lens[i])], g, ht, ag_wildcard, b,
+                            max_mismatches, pattern))
+                        for (g, ht), strand in zip(tables, strands)
+                    ],
+                    max_mismatches,
+                    pattern,
+                )
+        else:
+            streams = []
+            for (g, ht), strand in zip(tables, strands):
+                per_read = backend.map_strand(
+                    codes, lens, g, ht, ag_wildcard, b, max_mismatches, pattern
+                )
+                streams.append((strand, per_read))
 
         for j in range(n):
             if int(lens[j]) < pattern.min_read_len:
@@ -72,6 +104,11 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
                 # under both table iterations of mapping.cpp:491-499)
                 stat.num_of_short += 2
                 bm = BestMatch(0, 0, "+", max_mismatches)
+            elif streams is None:
+                bm = exact.get(j) or BestMatch(
+                    int(v_pos[j]), int(v_times[j]),
+                    "-" if v_minus[j] else "+", int(v_mm[j]),
+                )
             else:
                 bm = replay_single(
                     [(strand, per_read[j]) for strand, per_read in streams],

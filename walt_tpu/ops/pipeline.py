@@ -44,22 +44,22 @@ def _lex_ge_gt(e0, e1, e2, r0, r1, r2):
     return gt | eq, gt
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "pattern_name", "ag_wildcard", "search_bits", "verify_slab", "cand_slab",
-    ),
-)
-def map_strand_device(reads, lens, b, max_mm, seq, counter, index, key_words,
-                      start_index, bucket_flagged, *, pattern_name: str,
-                      ag_wildcard: bool, search_bits: int,
-                      verify_slab: int = VERIFY_SLAB,
-                      cand_slab: int = CAND_SLAB):
-    """Map a read batch against one table.
+def map_strand_core(reads, lens, b, max_mm, seq, counter, index, key_words,
+                    start_index, bucket_flagged, *, pattern_name: str,
+                    ag_wildcard: bool, search_bits: int,
+                    verify_slab: int = VERIFY_SLAB,
+                    cand_slab: int = CAND_SLAB,
+                    key_base=None):
+    """Map a read batch against one table (trace-level core).
 
     reads: (B, Lmax) uint8 codes (PAD_CODE padded); lens: (B,) int32.
     Returns (cand_seed i8, cand_pos u32, cand_mm i32, cand_cnt i32,
     fallback bool) with slab axis cand_slab.
+
+    ``key_base``: when the hash table is sharded by bucket range (the
+    tensor-parallel layout of walt_tpu.parallel), the local ``counter`` spans
+    buckets [key_base, key_base + counter_size); keys outside it yield empty
+    regions on this shard.
     """
     pattern = get_pattern(pattern_name)
     plen = pattern.pattern_len
@@ -87,9 +87,17 @@ def map_strand_device(reads, lens, b, max_mm, seq, counter, index, key_words,
     for i in range(kw):
         key = (key << 2) | vals[:, :, i]
 
-    lo = counter[key].astype(jnp.int32)  # (B, S)
-    hi = counter[key + 1].astype(jnp.int32)
-    flagged = bucket_flagged[key]  # (B, S)
+    if key_base is None:
+        lo = counter[key].astype(jnp.int32)  # (B, S)
+        hi = counter[key + 1].astype(jnp.int32)
+        flagged = bucket_flagged[key]  # (B, S)
+    else:
+        local = key - jnp.uint32(key_base)  # wraps below base -> large
+        in_range = local < jnp.uint32(counter.shape[0] - 1)
+        lidx = jnp.where(in_range, local, 0).astype(jnp.int32)
+        lo = jnp.where(in_range, counter[lidx].astype(jnp.int32), 0)
+        hi = jnp.where(in_range, counter[lidx + 1].astype(jnp.int32), 0)
+        flagged = in_range & bucket_flagged[lidx]
 
     # --- read prefix key words + per-read masks ---
     rwords = []
@@ -207,3 +215,23 @@ def map_strand_device(reads, lens, b, max_mm, seq, counter, index, key_words,
         | (cand_cnt > cand_slab)
     )
     return cand_seed, cand_pos, cand_mm, jnp.minimum(cand_cnt, cand_slab), fallback
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pattern_name", "ag_wildcard", "search_bits", "verify_slab", "cand_slab",
+    ),
+)
+def map_strand_device(reads, lens, b, max_mm, seq, counter, index, key_words,
+                      start_index, bucket_flagged, *, pattern_name: str,
+                      ag_wildcard: bool, search_bits: int,
+                      verify_slab: int = VERIFY_SLAB,
+                      cand_slab: int = CAND_SLAB):
+    """Single-chip jitted entry over the full (unsharded) table."""
+    return map_strand_core(
+        reads, lens, b, max_mm, seq, counter, index, key_words,
+        start_index, bucket_flagged, pattern_name=pattern_name,
+        ag_wildcard=ag_wildcard, search_bits=search_bits,
+        verify_slab=verify_slab, cand_slab=cand_slab,
+    )

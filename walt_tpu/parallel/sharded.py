@@ -1,0 +1,148 @@
+"""Sharded mapping step: reads over ``dp``, hash table over ``tp``.
+
+Table sharding is by contiguous bucket-key range: shard ``s`` of ``T`` owns
+buckets ``[s*nb/T, (s+1)*nb/T)`` with a localized CSR (counter rebased to the
+shard's first entry, index/key_words sliced and padded to the max shard
+size).  A bucket lives wholly on one shard, so for a given (read, seed) at
+most one shard produces candidates; the cross-shard merge is an
+``all_gather`` over ``tp`` followed by a per-read stable ordering on
+(seed asc, within-shard arrival order), which reproduces the examination
+order of the unsharded pipeline exactly (see walt_tpu.ops.pipeline).
+
+The genome sequence is replicated (hg19 packed codes ~3 GB; the index +
+packed lookup keys are the HBM hog at ~36 GB/table, which is what ``tp``
+divides).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from walt_tpu.ops import pipeline
+from walt_tpu.ops.device_index import DeviceTable
+
+
+@dataclasses.dataclass
+class ShardedTables:
+    """Per-shard stacked table arrays (leading axis = tp shards)."""
+
+    key_base: np.ndarray  # uint32 (T,) first bucket of each shard
+    counter: np.ndarray  # uint32 (T, nb/T + 1) localized CSR offsets
+    index: np.ndarray  # uint32 (T, max_len) padded position slices
+    key_words: np.ndarray  # uint32 (T, max_len, 3)
+    bucket_flagged: np.ndarray  # bool (T, nb/T)
+    seq: np.ndarray  # uint8, replicated converted genome (padded)
+    start_index: np.ndarray  # uint32, replicated
+    max_bucket_bits: int
+
+
+def shard_device_table(dt: DeviceTable, n_shards: int) -> ShardedTables:
+    """Split one DeviceTable into ``n_shards`` bucket-range shards."""
+    nb = dt.counter.shape[0] - 1
+    if nb % n_shards:
+        raise ValueError(f"{nb} buckets not divisible by {n_shards} shards")
+    nbl = nb // n_shards
+    bounds = dt.counter[:: nbl][: n_shards + 1].astype(np.int64)
+    max_len = max(1, int(np.diff(bounds).max()))
+
+    counter = np.zeros((n_shards, nbl + 1), dtype=np.uint32)
+    index = np.zeros((n_shards, max_len), dtype=np.uint32)
+    key_words = np.zeros((n_shards, max_len, 3), dtype=np.uint32)
+    flagged = np.zeros((n_shards, nbl), dtype=bool)
+    for s in range(n_shards):
+        a, b = int(bounds[s]), int(bounds[s + 1])
+        counter[s] = dt.counter[s * nbl : (s + 1) * nbl + 1] - dt.counter[s * nbl]
+        index[s, : b - a] = dt.index[a:b]
+        key_words[s, : b - a] = dt.key_words[a:b]
+        flagged[s] = dt.bucket_flagged[s * nbl : (s + 1) * nbl]
+    return ShardedTables(
+        key_base=(np.arange(n_shards, dtype=np.uint32) * np.uint32(nbl)),
+        counter=counter,
+        index=index,
+        key_words=key_words,
+        bucket_flagged=flagged,
+        seq=dt.seq,
+        start_index=dt.start_index,
+        max_bucket_bits=dt.max_bucket_bits,
+    )
+
+
+def make_mesh(devices=None, tp: int | None = None) -> Mesh:
+    """A ('dp', 'tp') mesh over the given (default: all) devices."""
+    devices = list(jax.devices() if devices is None else devices)
+    n = len(devices)
+    if tp is None:
+        tp = 2 if n % 2 == 0 and n > 1 else 1
+    return Mesh(np.asarray(devices).reshape(n // tp, tp), ("dp", "tp"))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "pattern_name", "ag_wildcard", "search_bits",
+                     "verify_slab", "cand_slab"),
+)
+def map_strand_sharded(reads, lens, b, max_mm, key_base, counter, index,
+                       key_words, bucket_flagged, seq, start_index, *,
+                       mesh: Mesh, pattern_name: str, ag_wildcard: bool,
+                       search_bits: int,
+                       verify_slab: int = pipeline.VERIFY_SLAB,
+                       cand_slab: int = pipeline.CAND_SLAB):
+    """Sharded equivalent of ``map_strand_device``.
+
+    reads/lens must be padded so B is divisible by the ``dp`` axis size.
+    Table args come from a ShardedTables whose T equals the ``tp`` size.
+    Returns the same (cand_seed, cand_pos, cand_mm, cand_cnt, fallback).
+    """
+
+    def body(reads, lens, b, max_mm, key_base, counter, index, key_words,
+             bucket_flagged, seq, start_index):
+        cs, cp, cm, cc, fb = pipeline.map_strand_core(
+            reads, lens, b, max_mm, seq, counter[0], index[0], key_words[0],
+            start_index, bucket_flagged[0], pattern_name=pattern_name,
+            ag_wildcard=ag_wildcard, search_bits=search_bits,
+            verify_slab=verify_slab, cand_slab=cand_slab,
+            key_base=key_base[0],
+        )
+        T = jax.lax.axis_size("tp")
+        # (T, B_l, C) gathered candidate slabs from every table shard
+        cs_g = jax.lax.all_gather(cs, "tp")
+        cp_g = jax.lax.all_gather(cp, "tp")
+        cm_g = jax.lax.all_gather(cm, "tp")
+        fb_any = jax.lax.all_gather(fb, "tp").any(axis=0)
+
+        Bl = cs.shape[0]
+        C = cand_slab
+        flat_seed = jnp.moveaxis(cs_g, 0, 1).reshape(Bl, T * C)
+        flat_pos = jnp.moveaxis(cp_g, 0, 1).reshape(Bl, T * C)
+        flat_mm = jnp.moveaxis(cm_g, 0, 1).reshape(Bl, T * C)
+        valid = flat_seed >= 0
+        arrival = jnp.arange(T * C, dtype=jnp.int32)[None, :]
+        order_key = jnp.where(
+            valid, flat_seed.astype(jnp.int32) * (T * C) + arrival, 2**30
+        )
+        order = jnp.argsort(order_key, axis=1)[:, :C]
+        m_seed = jnp.take_along_axis(flat_seed, order, axis=1)
+        m_pos = jnp.take_along_axis(flat_pos, order, axis=1)
+        m_mm = jnp.take_along_axis(flat_mm, order, axis=1)
+        total = jnp.sum(valid, axis=1, dtype=jnp.int32)
+        fb_any = fb_any | (total > C)
+        return m_seed, m_pos, m_mm, jnp.minimum(total, C), fb_any
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("dp"), P("dp"), P(), P(),  # reads, lens, b, max_mm
+            P("tp"), P("tp"), P("tp"), P("tp"), P("tp"),  # table shards
+            P(), P(),  # seq, start_index replicated
+        ),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        check_vma=False,
+    )(reads, lens, b, max_mm, key_base, counter, index, key_words,
+      bucket_flagged, seq, start_index)

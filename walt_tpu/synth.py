@@ -1,0 +1,86 @@
+"""Synthetic genomes and bisulfite read batches.
+
+Used by the benchmark harness, the driver entry points, and tests to build
+workloads with a known planting structure (reads sampled from the genome,
+bisulfite-converted C->T at a given rate, with sequencing errors), mirroring
+the simulated-read methodology the reference was validated with
+(doc/Supplementary Data, section 4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from walt_tpu.constants import SeedPattern, get_pattern
+from walt_tpu.genome import Genome
+
+
+def make_genome(n_bases: int, n_chroms: int = 2, seed: int = 0) -> Genome:
+    """Random ACGT genome as a Genome of 2-bit codes."""
+    rng = np.random.default_rng(seed)
+    lengths = np.full(n_chroms, n_bases // n_chroms, dtype=np.uint32)
+    lengths[-1] += n_bases - int(lengths.sum())
+    start = np.zeros(n_chroms + 1, dtype=np.uint32)
+    np.cumsum(lengths, out=start[1:])
+    seq = rng.integers(0, 4, n_bases, dtype=np.uint8)
+    names = [f"chr{i + 1}" for i in range(n_chroms)]
+    return Genome(names=names, lengths=lengths, start_index=start, seq=seq)
+
+
+def write_genome_fasta(genome: Genome, path: str) -> None:
+    from walt_tpu.genome import decode_to_bytes
+
+    with open(path, "w") as f:
+        for i, name in enumerate(genome.names):
+            a, b = int(genome.start_index[i]), int(genome.start_index[i + 1])
+            text = decode_to_bytes(genome.seq[a:b]).decode()
+            f.write(f">{name}\n")
+            for j in range(0, len(text), 70):
+                f.write(text[j : j + 70] + "\n")
+
+
+def sample_reads(genome: Genome, n: int, length: int, seed: int = 1,
+                 bis_rate: float = 0.75, err_rate: float = 0.01):
+    """Bisulfite SE reads from both strands.
+
+    Returns (codes (n, length) uint8, lens (n,) int32, origin (n,) int64).
+    """
+    rng = np.random.default_rng(seed)
+    G = genome.length_of_genome
+    starts = rng.integers(0, G - length, n)
+    # keep each read within one chromosome
+    chrom = np.searchsorted(genome.start_index, starts, side="right") - 1
+    ends = genome.start_index.astype(np.int64)[chrom + 1]
+    starts = np.minimum(starts, ends - length)
+    codes = genome.seq[starts[:, None] + np.arange(length)].copy()
+    rev = rng.integers(0, 2, n).astype(bool)
+    codes[rev] = (3 - codes[rev])[:, ::-1]
+    is_c = codes == 1
+    codes[is_c & (rng.random((n, length)) < bis_rate)] = 3
+    err = rng.random((n, length)) < err_rate
+    codes[err] = (codes[err] + rng.integers(1, 4, int(err.sum()))) % 4
+    lens = np.full(n, length, dtype=np.int32)
+    return codes, lens, starts
+
+
+def codes_to_fastq(codes: np.ndarray, lens: np.ndarray, path: str,
+                   name_prefix: str = "r") -> None:
+    from walt_tpu.genome import decode_to_bytes
+
+    with open(path, "w") as f:
+        for i in range(codes.shape[0]):
+            s = decode_to_bytes(codes[i, : int(lens[i])]).decode()
+            f.write(f"@{name_prefix}{i}\n{s}\n+\n{'I' * int(lens[i])}\n")
+
+
+def build_synthetic_table(n_bases: int = 200_000, pattern: SeedPattern | None = None,
+                          seed: int = 0):
+    """(genome, converted CT00 genome, HashTable, DeviceTable) for benches."""
+    from walt_tpu.index.build import build_table
+    from walt_tpu.ops.device_index import build_device_table
+
+    pattern = pattern or get_pattern("3")
+    genome = make_genome(n_bases, seed=seed)
+    conv_genome, table = build_table(genome, "CT00", pattern, verbose=False)
+    dt = build_device_table(conv_genome, table, pattern)
+    return genome, conv_genome, table, dt
