@@ -18,8 +18,9 @@ def mesh8():
 def test_sharded_matches_single_device(mesh8):
     import jax.numpy as jnp
 
-    from walt_tpu.constants import PAD_CODE, get_pattern
+    from walt_tpu.constants import get_pattern
     from walt_tpu.ops import pipeline
+    from walt_tpu.ops.packing import pack_codes_np
     from walt_tpu.parallel import map_strand_sharded, shard_device_table
     from walt_tpu.synth import build_synthetic_table, sample_reads
 
@@ -27,14 +28,15 @@ def test_sharded_matches_single_device(mesh8):
     genome, conv_genome, table, dt = build_synthetic_table(120_000, seed=3)
     codes, lens, _ = sample_reads(genome, 64, 80, seed=5)
     B, L = 64, 96
-    padded = np.full((B, L), PAD_CODE, dtype=np.uint8)
+    padded = np.zeros((B, L), dtype=np.uint8)
     padded[:, : codes.shape[1]] = codes
+    padded = pack_codes_np(padded)
 
     ref = [
         np.asarray(x)
         for x in pipeline.map_strand_device(
             jnp.asarray(padded), jnp.asarray(lens), jnp.int32(5000),
-            jnp.int32(6), jnp.asarray(dt.seq), jnp.asarray(dt.counter),
+            jnp.int32(6), jnp.asarray(dt.pseq), jnp.asarray(dt.counter),
             jnp.asarray(dt.index), jnp.asarray(dt.key_words),
             jnp.asarray(dt.start_index), jnp.asarray(dt.bucket_flagged),
             pattern_name="3", ag_wildcard=False,
@@ -49,7 +51,7 @@ def test_sharded_matches_single_device(mesh8):
             jnp.asarray(padded), jnp.asarray(lens), jnp.int32(5000),
             jnp.int32(6), jnp.asarray(st.key_base), jnp.asarray(st.counter),
             jnp.asarray(st.index), jnp.asarray(st.key_words),
-            jnp.asarray(st.bucket_flagged), jnp.asarray(st.seq),
+            jnp.asarray(st.bucket_flagged), jnp.asarray(st.pseq),
             jnp.asarray(st.start_index), mesh=mesh8, pattern_name="3",
             ag_wildcard=False, search_bits=st.max_bucket_bits,
         )

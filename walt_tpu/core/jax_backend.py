@@ -1,11 +1,16 @@
 """JAX/TPU mapping backend.
 
-Wraps the jitted device pipeline (walt_tpu.ops.pipeline): prepares
-device-resident tables (packed lookup keys), tiles batches into fixed-shape
-chunks (one compile per (chunk, Lmax) shape, reused across batches), and
-returns candidate slabs.  Reads whose candidates do not fit the fixed device
-shapes (or touch flagged buckets) are flagged for the exact NumPy path --
-output is identical either way.
+Wraps the jitted device pipeline (walt_tpu.ops.pipeline / se_fold):
+prepares device-resident tables (packed genome words + packed lookup keys),
+packs read batches to 2-bit words on host, tiles them into fixed-shape
+chunks (one compile per (chunk, W) shape, reused across batches), dispatches
+all chunks asynchronously and fetches results afterwards so compute and
+tunnel transfers overlap.
+
+For single-end mapping the entire per-read BestMatch fold happens on device
+(ops/se_fold) and only (B,)-shaped results come back.  Reads whose
+candidates do not fit the fixed device shapes (or touch flagged buckets)
+are flagged for the exact NumPy path -- output is identical either way.
 """
 
 from __future__ import annotations
@@ -14,12 +19,12 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from walt_tpu.constants import PAD_CODE, SeedPattern
+from walt_tpu.constants import SeedPattern
 from walt_tpu.core import refmap
 from walt_tpu.genome import Genome
 from walt_tpu.index.build import HashTable
-from walt_tpu.ops import pipeline
-from walt_tpu.ops.device_index import DeviceTable, build_device_table
+from walt_tpu.ops import packing, pipeline, se_fold
+from walt_tpu.ops.device_index import build_device_table
 
 
 def _round_up(x: int, m: int) -> int:
@@ -48,7 +53,7 @@ class JaxBackend:
             self._tables[key] = (
                 dt,
                 dict(
-                    seq=jnp.asarray(dt.seq),
+                    pseq=jnp.asarray(dt.pseq),
                     counter=jnp.asarray(dt.counter),
                     index=jnp.asarray(dt.index),
                     key_words=jnp.asarray(dt.key_words),
@@ -57,6 +62,67 @@ class JaxBackend:
                 ),
             )
         return self._tables[key]
+
+    def _chunks(self, codes: np.ndarray, lens: np.ndarray,
+                pattern: SeedPattern):
+        """Pack reads and yield fixed-shape (preads, lens) device chunks."""
+        n = codes.shape[0]
+        Lmax = _round_up(max(int(codes.shape[1]), pattern.min_read_len),
+                         self.len_pad)
+        W = Lmax // 16
+        packed = packing.pack_codes_np(
+            np.pad(codes, ((0, 0), (0, Lmax - codes.shape[1])))
+        )
+        # fixed chunk shape: one compile per (chunk, W), reused forever
+        chunk = self.chunk
+        out = []
+        for a in range(0, n, chunk):
+            z = min(a + chunk, n)
+            pc = np.zeros((chunk, W), dtype=np.uint32)
+            pc[: z - a] = packed[a:z]
+            pl = np.zeros(chunk, dtype=np.int32)
+            pl[: z - a] = lens[a:z]
+            out.append((a, z, jnp.asarray(pc), jnp.asarray(pl)))
+        return out
+
+    def map_single_end(self, codes: np.ndarray, lens: np.ndarray, tables,
+                       b: int, max_mismatches: int, pattern: SeedPattern,
+                       ag_wildcard: bool = False):
+        """Full SE step on device for both strand tables ('+' then '-').
+
+        ``tables``: [(genome, hash_table), (genome, hash_table)].
+        Returns (pos (n,) uint32, times (n,) int32, minus (n,) bool,
+        mismatch (n,) int32, fallback (n,) bool).
+        """
+        n = codes.shape[0]
+        devs, bits = [], []
+        for g, ht in tables:
+            dt, dev = self._device_table(g, ht, pattern)
+            devs.append(dev)
+            bits.append(dt.max_bucket_bits)
+        results = []
+        for a, z, pc, pl in self._chunks(codes, lens, pattern):
+            r = se_fold.map_single_end_device(
+                pc, pl, jnp.int32(b), jnp.int32(max_mismatches), tuple(devs),
+                pattern_name=pattern.name, ag_wildcard=ag_wildcard,
+                search_bits=tuple(bits), verify_slab=self.verify_slab,
+                cand_slab=self.cand_slab,
+            )
+            results.append((a, z, r))
+        pos = np.empty(n, dtype=np.uint32)
+        times = np.empty(n, dtype=np.int32)
+        minus = np.empty(n, dtype=bool)
+        mm = np.empty(n, dtype=np.int32)
+        fb = np.empty(n, dtype=bool)
+        for a, z, r in results:  # fetch after all dispatches (overlap)
+            pos[a:z] = np.asarray(r[0])[: z - a]
+            times[a:z] = np.asarray(r[1])[: z - a]
+            minus[a:z] = np.asarray(r[2])[: z - a]
+            mm[a:z] = np.asarray(r[3])[: z - a]
+            fb[a:z] = np.asarray(r[4])[: z - a]
+        self.total_reads += n
+        self.fallback_reads += int(fb.sum())
+        return pos, times, minus, mm, fb
 
     def map_strand_slabs(self, codes: np.ndarray, lens: np.ndarray,
                          genome: Genome, table: HashTable, ag_wildcard: bool,
@@ -68,36 +134,28 @@ class JaxBackend:
         """
         n = codes.shape[0]
         dt, dev = self._device_table(genome, table, pattern)
-        Lmax = _round_up(max(int(codes.shape[1]), pattern.min_read_len),
-                         self.len_pad)
         C = self.cand_slab
-        out_seed = np.empty((n, C), dtype=np.int8)
-        out_pos = np.empty((n, C), dtype=np.uint32)
-        out_mm = np.empty((n, C), dtype=np.int32)
-        out_cnt = np.empty(n, dtype=np.int32)
-        out_fb = np.empty(n, dtype=bool)
-
-        chunk = min(self.chunk, _round_up(max(n, 1), 256))
-        for a in range(0, n, chunk):
-            z = min(a + chunk, n)
-            padded = np.full((chunk, Lmax), PAD_CODE, dtype=np.uint8)
-            padded[: z - a, : codes.shape[1]] = codes[a:z]
-            plens = np.zeros(chunk, dtype=np.int32)
-            plens[: z - a] = lens[a:z]
-            cs, cp, cm, cc, fb = pipeline.map_strand_device(
-                jnp.asarray(padded), jnp.asarray(plens),
-                jnp.int32(b), jnp.int32(max_mismatches),
+        results = []
+        for a, z, pc, pl in self._chunks(codes, lens, pattern):
+            r = pipeline.map_strand_device(
+                pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
                 pattern_name=pattern.name, ag_wildcard=ag_wildcard,
                 search_bits=dt.max_bucket_bits,
                 verify_slab=self.verify_slab, cand_slab=C,
                 **dev,
             )
-            out_seed[a:z] = np.asarray(cs)[: z - a]
-            out_pos[a:z] = np.asarray(cp)[: z - a]
-            out_mm[a:z] = np.asarray(cm)[: z - a]
-            out_cnt[a:z] = np.asarray(cc)[: z - a]
-            out_fb[a:z] = np.asarray(fb)[: z - a]
-
+            results.append((a, z, r))
+        out_seed = np.empty((n, C), dtype=np.int8)
+        out_pos = np.empty((n, C), dtype=np.uint32)
+        out_mm = np.empty((n, C), dtype=np.int32)
+        out_cnt = np.empty(n, dtype=np.int32)
+        out_fb = np.empty(n, dtype=bool)
+        for a, z, r in results:
+            out_seed[a:z] = np.asarray(r[0])[: z - a]
+            out_pos[a:z] = np.asarray(r[1])[: z - a]
+            out_mm[a:z] = np.asarray(r[2])[: z - a]
+            out_cnt[a:z] = np.asarray(r[3])[: z - a]
+            out_fb[a:z] = np.asarray(r[4])[: z - a]
         self.total_reads += n
         self.fallback_reads += int(out_fb.sum())
         return out_seed, out_pos, out_mm, out_cnt, out_fb

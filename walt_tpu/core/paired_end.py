@@ -142,7 +142,7 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
     genome_meta, _ = io_walt.read_head(index_file)
     table_names = [("_CT00", "_CT01"), ("_GA10", "_GA11")]
     tables = [
-        [io_walt.read_table(index_file + s, genome_meta) for s in pair]
+        [io_walt.read_table_cached(index_file + s, genome_meta) for s in pair]
         for pair in table_names
     ]
     strands = "+-"

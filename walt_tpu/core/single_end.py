@@ -34,7 +34,7 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
 
     genome_meta, _ = io_walt.read_head(index_file)
     suffixes = ("_CT00", "_CT01") if not ag_wildcard else ("_GA10", "_GA11")
-    tables = [io_walt.read_table(index_file + s, genome_meta) for s in suffixes]
+    tables = [io_walt.read_table_cached(index_file + s, genome_meta) for s in suffixes]
     strands = "+-"
 
     stat = emit.StatSingleReads()
@@ -61,26 +61,17 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
         codes, lens = batch.packed()
 
         streams = None
-        if hasattr(backend, "map_strand_slabs"):
-            # vectorized path: device slabs -> batched best-hit fold; only
-            # reads the fixed shapes could not hold replay the exact path
+        if hasattr(backend, "map_single_end"):
+            # device path: seed/refine/verify AND the BestMatch fold run on
+            # device (ops/se_fold); only reads the fixed shapes could not
+            # hold replay the exact host path
             import numpy as np
 
-            from walt_tpu.host.replay_vec import replay_single_batch
-
-            slabs, fb_any = [], None
-            for (g, ht), strand in zip(tables, strands):
-                cs, cp, cm, cc, fb = backend.map_strand_slabs(
-                    codes, lens, g, ht, ag_wildcard, b, max_mismatches, pattern
-                )
-                slabs.append((cs, cp, cm))
-                fb_any = fb if fb_any is None else (fb_any | fb)
-            v_pos, v_times, v_minus, v_mm = replay_single_batch(
-                slabs, max_mismatches, pattern
+            v_pos, v_times, v_minus, v_mm, fb_any = backend.map_single_end(
+                codes, lens, tables, b, max_mismatches, pattern, ag_wildcard
             )
-            exact = {}
             for i in np.flatnonzero(fb_any):
-                exact[int(i)] = replay_single(
+                bm = replay_single(
                     [
                         (strand, refmap.enumerate_candidates(
                             codes[i, : int(lens[i])], g, ht, ag_wildcard, b,
@@ -90,6 +81,18 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
                     max_mismatches,
                     pattern,
                 )
+                v_pos[i] = bm.genome_pos
+                v_times[i] = bm.times
+                v_minus[i] = bm.strand == "-"
+                v_mm[i] = bm.mismatch
+            emit.write_single_batch(
+                v_pos, v_times, v_minus, v_mm, batch, genome_meta,
+                ag_wildcard, sam, ambiguous, unmapped, fout, famb, funm,
+                stat, pattern.min_read_len,
+            )
+            if n < batch_size:
+                break
+            continue
         else:
             streams = []
             for (g, ht), strand in zip(tables, strands):
@@ -104,11 +107,6 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
                 # under both table iterations of mapping.cpp:491-499)
                 stat.num_of_short += 2
                 bm = BestMatch(0, 0, "+", max_mismatches)
-            elif streams is None:
-                bm = exact.get(j) or BestMatch(
-                    int(v_pos[j]), int(v_times[j]),
-                    "-" if v_minus[j] else "+", int(v_mm[j]),
-                )
             else:
                 bm = replay_single(
                     [(strand, per_read[j]) for strand, per_read in streams],

@@ -178,6 +178,96 @@ def single_mr(bm: BestMatch, name: str, seq: bytes, qual: bytes, genome: Genome,
         out_ambiguous.write(mr_line(bm, name, seq, qual, genome, ag_wildcard))
 
 
+def write_single_batch(pos, times, minus, mm, batch, genome: Genome,
+                       ag_wildcard: bool, sam: bool, ambiguous: bool,
+                       unmapped: bool, fout, famb, funm,
+                       stat: StatSingleReads, min_read_len: int) -> None:
+    """Vectorized batch emission for the device SE path.
+
+    Byte-identical to calling single_mr/single_sam per read: the chromosome
+    mapping (searchsorted) and coordinate flip run once over the whole batch
+    instead of per read.  ``pos/times/minus/mm`` are the BestMatch arrays
+    from the device fold (shorts and unmapped reads carry times == 0).
+    """
+    n = pos.shape[0]
+    rlens = np.fromiter((len(s) for s in batch.seqs), np.int64, n)
+    start_index = genome.start_index.astype(np.int64)
+    chr_id = np.searchsorted(start_index, pos.astype(np.int64), side="right") - 1
+    start = pos.astype(np.int64) - start_index[chr_id]
+    start = np.where(
+        minus, genome.lengths.astype(np.int64)[chr_id] - start - rlens, start
+    )
+    short = rlens < min_read_len
+
+    stat.total_reads += n
+    stat.unmapped += int((times == 0).sum())
+    stat.unique += int((times == 1).sum())
+    stat.ambiguous += int((times >= 2).sum())
+    stat.num_of_short += 2 * int(short.sum())
+
+    names = batch.names
+    seqs = batch.seqs
+    quals = batch.quals
+    times_l = times.tolist()
+    minus_l = minus.tolist()
+    mm_l = mm.tolist()
+    start_l = start.tolist()
+    cname = [genome.names[c] for c in chr_id.tolist()]
+    rl = rlens.tolist()
+
+    main, amb, unm = [], [], []
+    if not sam:
+        for j in range(n):
+            t = times_l[j]
+            if t == 1 or (t >= 2 and famb is not None):
+                seq, qual = seqs[j], quals[j]
+                strand = "-" if minus_l[j] else "+"
+                if ag_wildcard:
+                    seq, qual = revcomp(seq), qual[::-1]
+                    strand = "+" if minus_l[j] else "-"
+                line = (
+                    f"{cname[j]}\t{start_l[j]}\t{start_l[j] + rl[j]}\t"
+                    f"{names[j]}\t{mm_l[j]}\t{strand}\t{seq.decode()}\t"
+                    f"{qual.decode()}\n"
+                )
+                (main if t == 1 else amb).append(line)
+            elif t == 0 and funm is not None:
+                seq, qual = seqs[j], quals[j]
+                if ag_wildcard:
+                    seq, qual = revcomp(seq), qual[::-1]
+                unm.append(f"{names[j]}\t{seq.decode()}\t{qual.decode()}\n")
+        fout.writelines(main)
+        if famb is not None:
+            famb.writelines(amb)
+        if funm is not None:
+            funm.writelines(unm)
+        return
+
+    for j in range(n):
+        t = times_l[j]
+        neg = minus_l[j]
+        flag = (0x4 if t == 0 else 0) | (0x10 if neg else 0) | (
+            0x100 if t >= 2 else 0
+        )
+        if neg:
+            seq_o, qual_o = revcomp(seqs[j]), quals[j][::-1]
+        else:
+            seq_o, qual_o = seqs[j], quals[j]
+        if t == 0:
+            if unmapped:
+                main.append(
+                    f"{names[j]}\t{flag}\t*\t0\t255\t*\t*\t0\t0\t"
+                    f"{seq_o.decode()}\t{qual_o.decode()}\tNM:i:0\n"
+                )
+        elif t == 1 or ambiguous:
+            main.append(
+                f"{names[j]}\t{flag}\t{cname[j]}\t{start_l[j] + 1}\t255\t"
+                f"{rl[j]}M\t*\t0\t0\t{seq_o.decode()}\t{qual_o.decode()}\t"
+                f"NM:i:{mm_l[j]}\n"
+            )
+    fout.writelines(main)
+
+
 def single_sam(bm: BestMatch, name: str, seq: bytes, qual: bytes, genome: Genome,
                ambiguous: bool, unmapped: bool, out) -> None:
     """OutputSingleSAM (mapping.cpp:382-419)."""

@@ -27,6 +27,7 @@ import numpy as np
 from walt_tpu.constants import SeedPattern
 from walt_tpu.genome import Genome
 from walt_tpu.index.build import HashTable
+from walt_tpu.ops.packing import pack_genome_np
 
 #: positions per packed 32-bit key word (2 bits per base)
 POS_PER_WORD = 16
@@ -37,7 +38,7 @@ N_KEY_WORDS = 3  # cared positions 12..59
 class DeviceTable:
     """One converted-genome table, ready to be placed on device."""
 
-    seq: np.ndarray  # uint8 (G + pad,), LOOKUP-padded converted genome
+    pseq: np.ndarray  # uint32 packed converted genome words (+ zero tail)
     counter: np.ndarray  # uint32 (4^12 + 1,)
     index: np.ndarray  # uint32 (n,)
     key_words: np.ndarray  # uint32 (n, 3) packed cared[12..59]
@@ -48,7 +49,7 @@ class DeviceTable:
 
     def nbytes(self) -> int:
         return (
-            self.seq.nbytes + self.counter.nbytes + self.index.nbytes
+            self.pseq.nbytes + self.counter.nbytes + self.index.nbytes
             + self.key_words.nbytes + self.bucket_flagged.nbytes
         )
 
@@ -105,7 +106,10 @@ def build_device_table(genome: Genome, table: HashTable,
     sizes = np.diff(table.counter.astype(np.int64))
     max_bucket = int(sizes.max()) if sizes.size else 1
     return DeviceTable(
-        seq=seq,
+        # tail must cover a full max-length window so the clip-mode slice
+        # gather never shifts a near-end window's start (MAX_LINE_LENGTH
+        # caps reads at 1000bp -> 63 words)
+        pseq=pack_genome_np(genome.seq, tail_words=66),
         counter=table.counter,
         index=table.index,
         key_words=key_words,

@@ -2,23 +2,30 @@
 
 One XLA program maps a fixed-shape read batch against one table:
 
-1. seed hashing: gather 12 cared bases per (read, shift), pack to a bucket
-   key (util.hpp:175-182);
+1. seed hashing: the 12 cared bases per (read, shift) are extracted from the
+   2-bit-packed read words at static offsets and packed to a bucket key
+   (util.hpp:175-182);
 2. bucket refinement: two masked-prefix binary searches over the packed key
    words (see ops/device_index.py) -- the equal range equals the reference's
    IndexRegion result (mapping.cpp:198-222) for unflagged buckets;
 3. the -b cap (mapping.cpp:275-277) and boundary rejections
    (mapping.cpp:281-286);
-4. verification: batched full-Hamming compare of the converted read against
-   gathered genome windows (equals the reference's no-cared + tail count;
-   see core/refmap.py), with the pattern-typo corrections;
+4. verification: the candidate window is assembled from the packed converted
+   genome (contiguous word-slice gather + align) and compared against the
+   packed converted read with XOR + lane-fold + popcount -- 16 bases per op
+   (equals the reference's no-cared + tail count; see core/refmap.py), with
+   the pattern-typo corrections;
 5. ordered compaction of candidates with mismatch <= -m into a fixed slab,
    preserving (seed asc, bucket position asc) examination order for the host
-   replay.
+   replay / device fold.
 
 Reads that exceed any fixed shape (refined region > VERIFY_SLAB, more than
 CAND_SLAB surviving candidates) or touch a flagged bucket raise a per-read
 fallback bit; the driver remaps those few reads with the exact host path.
+
+All read/genome base data is packed 16 bases per uint32 word (ops/packing);
+reads are packed on host, conversion (C->T / G->A, mapping.cpp:142-164)
+happens on device with bit tricks.
 """
 
 from __future__ import annotations
@@ -27,9 +34,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from walt_tpu.constants import SeedPattern, get_pattern
+from walt_tpu.constants import get_pattern
+from walt_tpu.ops import packing
 
 #: max refined-region entries verified on device per (read, seed)
 VERIFY_SLAB = 64
@@ -44,7 +51,7 @@ def _lex_ge_gt(e0, e1, e2, r0, r1, r2):
     return gt | eq, gt
 
 
-def map_strand_core(reads, lens, b, max_mm, seq, counter, index, key_words,
+def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
                     start_index, bucket_flagged, *, pattern_name: str,
                     ag_wildcard: bool, search_bits: int,
                     verify_slab: int = VERIFY_SLAB,
@@ -52,9 +59,9 @@ def map_strand_core(reads, lens, b, max_mm, seq, counter, index, key_words,
                     key_base=None):
     """Map a read batch against one table (trace-level core).
 
-    reads: (B, Lmax) uint8 codes (PAD_CODE padded); lens: (B,) int32.
-    Returns (cand_seed i8, cand_pos u32, cand_mm i32, cand_cnt i32,
-    fallback bool) with slab axis cand_slab.
+    preads: (B, W) uint32 packed read codes; lens: (B,) int32; pseq: packed
+    converted genome words (padded).  Returns (cand_seed i8, cand_pos u32,
+    cand_mm i32, cand_cnt i32, fallback bool) with slab axis cand_slab.
 
     ``key_base``: when the hash table is sharded by bucket range (the
     tensor-parallel layout of walt_tpu.parallel), the local ``counter`` spans
@@ -64,56 +71,57 @@ def map_strand_core(reads, lens, b, max_mm, seq, counter, index, key_words,
     pattern = get_pattern(pattern_name)
     plen = pattern.pattern_len
     kw = pattern.key_weight
-    cared = jnp.asarray(pattern.cared, dtype=jnp.int32)
-    B, Lmax = reads.shape
+    cared = pattern.cared
+    B, W = preads.shape
+    Lmax = W * 16
     n_entries = index.shape[0]
 
-    # --- read conversion (mapping.cpp:142-164); PAD_CODE is unaffected ---
-    if ag_wildcard:
-        conv = jnp.where(reads == 2, jnp.uint8(0), reads)
-    else:
-        conv = jnp.where(reads == 1, jnp.uint8(3), reads)
+    # --- read conversion (mapping.cpp:142-164) on packed words ---
+    conv = packing.convert_ga(preads) if ag_wildcard else packing.convert_ct(preads)
 
     read_ok = lens >= pattern.min_read_len  # (B,)
     repeats = jnp.minimum((lens - plen + 1) // plen, pattern.max_repeats())
     seed_len = jnp.minimum(repeats * pattern.cared_weight, pattern.cared_size)
 
-    shifts = jnp.arange(plen, dtype=jnp.int32)  # (S,)
+    def lane(pos: int):
+        """(B,) uint32 base at static position pos (0 past the packed end)."""
+        if pos >= Lmax:
+            return jnp.zeros(B, dtype=jnp.uint32)
+        return packing.extract_lane(conv, pos)
 
-    # --- seed hash keys: (B, S) ---
-    posk = shifts[:, None] + cared[None, :kw]  # (S, kw)
-    vals = jnp.take(conv, posk, axis=1, mode="clip").astype(jnp.uint32) & 3
-    key = jnp.zeros((B, plen), dtype=jnp.uint32)
-    for i in range(kw):
-        key = (key << 2) | vals[:, :, i]
+    # --- seed hash keys: (B, S), all offsets static ---
+    keys = []
+    for s in range(plen):
+        k = jnp.zeros(B, dtype=jnp.uint32)
+        for i in range(kw):
+            k = (k << 2) | lane(int(cared[i]) + s)
+        keys.append(k)
+    key = jnp.stack(keys, axis=1)  # (B, S)
 
     if key_base is None:
-        lo = counter[key].astype(jnp.int32)  # (B, S)
-        hi = counter[key + 1].astype(jnp.int32)
-        flagged = bucket_flagged[key]  # (B, S)
+        lo = jnp.take(counter, key).astype(jnp.int32)  # (B, S)
+        hi = jnp.take(counter, key + 1).astype(jnp.int32)
+        flagged = jnp.take(bucket_flagged, key)  # (B, S)
     else:
         local = key - jnp.uint32(key_base)  # wraps below base -> large
         in_range = local < jnp.uint32(counter.shape[0] - 1)
         lidx = jnp.where(in_range, local, 0).astype(jnp.int32)
-        lo = jnp.where(in_range, counter[lidx].astype(jnp.int32), 0)
-        hi = jnp.where(in_range, counter[lidx + 1].astype(jnp.int32), 0)
-        flagged = in_range & bucket_flagged[lidx]
+        lo = jnp.where(in_range, jnp.take(counter, lidx).astype(jnp.int32), 0)
+        hi = jnp.where(in_range, jnp.take(counter, lidx + 1).astype(jnp.int32), 0)
+        flagged = in_range & jnp.take(bucket_flagged, lidx)
 
-    # --- read prefix key words + per-read masks ---
+    # --- read prefix key words (cared[kw..kw+47] per shift) + masks ---
     rwords = []
     for w in range(3):
-        acc = jnp.zeros((B, plen), dtype=jnp.uint32)
-        for i in range(16):
-            p = kw + w * 16 + i
-            if p < pattern.cared_size:
-                pos = shifts[None, :] + cared[p]
-                v = jnp.take_along_axis(
-                    conv, jnp.minimum(pos, Lmax - 1).astype(jnp.int32), axis=1
-                ).astype(jnp.uint32) & 3
-            else:
-                v = jnp.zeros((B, plen), dtype=jnp.uint32)
-            acc = (acc << 2) | v
-        rwords.append(acc)
+        accs = []
+        for s in range(plen):
+            acc = jnp.zeros(B, dtype=jnp.uint32)
+            for i in range(16):
+                p = kw + w * 16 + i
+                v = lane(int(cared[p]) + s) if p < pattern.cared_size else 0
+                acc = (acc << 2) | v
+            accs.append(acc)
+        rwords.append(jnp.stack(accs, axis=1))  # (B, S)
     # number of compared positions per word, from per-read seed_len
     masks = []
     for w in range(3):
@@ -125,11 +133,13 @@ def map_strand_core(reads, lens, b, max_mm, seq, counter, index, key_words,
         masks.append(jnp.broadcast_to(m, (B, plen)))
     r0, r1, r2 = (rw & m for rw, m in zip(rwords, masks))
 
+    kw0, kw1, kw2 = (key_words[:, w] for w in range(3))
+
     def probe(mid):
-        kws = key_words[jnp.clip(mid, 0, n_entries - 1)]  # (B, S, 3)
-        e0 = kws[..., 0] & masks[0]
-        e1 = kws[..., 1] & masks[1]
-        e2 = kws[..., 2] & masks[2]
+        midc = jnp.clip(mid, 0, n_entries - 1)
+        e0 = jnp.take(kw0, midc) & masks[0]  # (B, S)
+        e1 = jnp.take(kw1, midc) & masks[1]
+        e2 = jnp.take(kw2, midc) & masks[2]
         return _lex_ge_gt(e0, e1, e2, r0, r1, r2)
 
     def bsearch(pred_is_gt):
@@ -155,9 +165,10 @@ def map_strand_core(reads, lens, b, max_mm, seq, counter, index, key_words,
     eff = jnp.where(capped | overflow | ~read_ok[:, None], 0, cnt)
 
     # --- verify the refined slab ---
+    shifts = jnp.arange(plen, dtype=jnp.int32)  # (S,)
     j = jnp.arange(verify_slab, dtype=jnp.int32)
     slot = lower[:, :, None] + j[None, None, :]
-    entry = index[jnp.clip(slot, 0, n_entries - 1)].astype(jnp.int32)  # (B,S,C)
+    entry = jnp.take(index, jnp.clip(slot, 0, n_entries - 1)).astype(jnp.int32)  # (B,S,C)
     chrom = (
         jnp.searchsorted(start_index.astype(jnp.int32), entry, side="right") - 1
     )
@@ -168,25 +179,31 @@ def map_strand_core(reads, lens, b, max_mm, seq, counter, index, key_words,
     gpos = entry - seed_b
     ok_tail = (gpos + lens[:, None, None]) < ch_end  # mapping.cpp:285 ('>=' skips)
 
-    p = jnp.arange(Lmax, dtype=jnp.int32)
-    widx = gpos[..., None] + p
-    win = seq[jnp.clip(widx, 0, seq.shape[0] - 1)]  # (B, S, C, Lmax)
-    neq = (win != conv[:, None, None, :]) & (p[None, None, None, :] < lens[:, None, None, None])
-    mm = jnp.sum(neq, axis=-1, dtype=jnp.int32)
+    win = packing.window_words(pseq, gpos, W)  # (B, S, C, W)
+    lane_masks = packing.len_lane_masks(lens, W)  # (B, W)
+    mm = jnp.sum(
+        packing.count_mismatch_words(
+            win, conv[:, None, None, :], lane_masks[:, None, None, :]
+        ),
+        axis=-1,
+        dtype=jnp.int32,
+    )
     for shift, min_rep, posn in pattern.verify_skip:
         if posn < Lmax:
+            wv = (win[..., posn // 16] >> jnp.uint32(30 - 2 * (posn % 16))) & 3
+            rv = packing.extract_lane(conv, posn)[:, None, None]
             cond = (
                 (seed_b == shift)
                 & (repeats[:, None, None] >= min_rep)
                 & (posn < lens[:, None, None])
-                & neq[..., posn]
+                & (wv != rv)
             )
             mm = mm - cond.astype(jnp.int32)
 
     keep = (j[None, None, :] < eff[:, :, None]) & ok_head & ok_tail & (mm <= max_mm)
 
     # --- ordered compaction into the candidate slab ---
-    S = pattern.pattern_len
+    S = plen
     keep_f = keep.reshape(B, S * verify_slab)
     dest = jnp.cumsum(keep_f, axis=1) - 1
     dest = jnp.where(keep_f, dest, cand_slab)  # dropped by scatter mode
@@ -223,14 +240,14 @@ def map_strand_core(reads, lens, b, max_mm, seq, counter, index, key_words,
         "pattern_name", "ag_wildcard", "search_bits", "verify_slab", "cand_slab",
     ),
 )
-def map_strand_device(reads, lens, b, max_mm, seq, counter, index, key_words,
+def map_strand_device(preads, lens, b, max_mm, pseq, counter, index, key_words,
                       start_index, bucket_flagged, *, pattern_name: str,
                       ag_wildcard: bool, search_bits: int,
                       verify_slab: int = VERIFY_SLAB,
                       cand_slab: int = CAND_SLAB):
     """Single-chip jitted entry over the full (unsharded) table."""
     return map_strand_core(
-        reads, lens, b, max_mm, seq, counter, index, key_words,
+        preads, lens, b, max_mm, pseq, counter, index, key_words,
         start_index, bucket_flagged, pattern_name=pattern_name,
         ag_wildcard=ag_wildcard, search_bits=search_bits,
         verify_slab=verify_slab, cand_slab=cand_slab,

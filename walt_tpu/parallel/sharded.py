@@ -9,9 +9,8 @@ most one shard produces candidates; the cross-shard merge is an
 (seed asc, within-shard arrival order), which reproduces the examination
 order of the unsharded pipeline exactly (see walt_tpu.ops.pipeline).
 
-The genome sequence is replicated (hg19 packed codes ~3 GB; the index +
-packed lookup keys are the HBM hog at ~36 GB/table, which is what ``tp``
-divides).
+The packed genome is replicated (hg19: ~0.8 GB); the index + packed lookup
+keys are the HBM hog (~36 GB/table for hg19), which is what ``tp`` divides.
 """
 
 from __future__ import annotations
@@ -37,7 +36,7 @@ class ShardedTables:
     index: np.ndarray  # uint32 (T, max_len) padded position slices
     key_words: np.ndarray  # uint32 (T, max_len, 3)
     bucket_flagged: np.ndarray  # bool (T, nb/T)
-    seq: np.ndarray  # uint8, replicated converted genome (padded)
+    pseq: np.ndarray  # uint32, replicated packed converted genome words
     start_index: np.ndarray  # uint32, replicated
     max_bucket_bits: int
 
@@ -67,7 +66,7 @@ def shard_device_table(dt: DeviceTable, n_shards: int) -> ShardedTables:
         index=index,
         key_words=key_words,
         bucket_flagged=flagged,
-        seq=dt.seq,
+        pseq=dt.pseq,
         start_index=dt.start_index,
         max_bucket_bits=dt.max_bucket_bits,
     )
@@ -87,23 +86,23 @@ def make_mesh(devices=None, tp: int | None = None) -> Mesh:
     static_argnames=("mesh", "pattern_name", "ag_wildcard", "search_bits",
                      "verify_slab", "cand_slab"),
 )
-def map_strand_sharded(reads, lens, b, max_mm, key_base, counter, index,
-                       key_words, bucket_flagged, seq, start_index, *,
+def map_strand_sharded(preads, lens, b, max_mm, key_base, counter, index,
+                       key_words, bucket_flagged, pseq, start_index, *,
                        mesh: Mesh, pattern_name: str, ag_wildcard: bool,
                        search_bits: int,
                        verify_slab: int = pipeline.VERIFY_SLAB,
                        cand_slab: int = pipeline.CAND_SLAB):
     """Sharded equivalent of ``map_strand_device``.
 
-    reads/lens must be padded so B is divisible by the ``dp`` axis size.
+    preads: (B, W) uint32 packed reads; B must divide by the ``dp`` size.
     Table args come from a ShardedTables whose T equals the ``tp`` size.
     Returns the same (cand_seed, cand_pos, cand_mm, cand_cnt, fallback).
     """
 
-    def body(reads, lens, b, max_mm, key_base, counter, index, key_words,
-             bucket_flagged, seq, start_index):
+    def body(preads, lens, b, max_mm, key_base, counter, index, key_words,
+             bucket_flagged, pseq, start_index):
         cs, cp, cm, cc, fb = pipeline.map_strand_core(
-            reads, lens, b, max_mm, seq, counter[0], index[0], key_words[0],
+            preads, lens, b, max_mm, pseq, counter[0], index[0], key_words[0],
             start_index, bucket_flagged[0], pattern_name=pattern_name,
             ag_wildcard=ag_wildcard, search_bits=search_bits,
             verify_slab=verify_slab, cand_slab=cand_slab,
@@ -144,5 +143,5 @@ def map_strand_sharded(reads, lens, b, max_mm, key_base, counter, index,
         ),
         out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
         check_vma=False,
-    )(reads, lens, b, max_mm, key_base, counter, index, key_words,
-      bucket_flagged, seq, start_index)
+    )(preads, lens, b, max_mm, key_base, counter, index, key_words,
+      bucket_flagged, pseq, start_index)
