@@ -100,26 +100,42 @@ class JaxBackend:
             dt, dev = self._device_table(g, ht, pattern)
             devs.append(dev)
             bits.append(dt.max_bucket_bits)
-        results = []
-        for a, z, pc, pl in self._chunks(codes, lens, pattern):
-            r = se_fold.map_single_end_device(
-                pc, pl, jnp.int32(b), jnp.int32(max_mismatches), tuple(devs),
-                pattern_name=pattern.name, ag_wildcard=ag_wildcard,
-                search_bits=tuple(bits), verify_slab=self.verify_slab,
-                cand_slab=self.cand_slab,
+
+        def run(codes_, lens_, seeds):
+            m = codes_.shape[0]
+            results = []
+            for a, z, pc, pl in self._chunks(codes_, lens_, pattern):
+                r = se_fold.map_single_end_device(
+                    pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
+                    tuple(devs), pattern_name=pattern.name,
+                    ag_wildcard=ag_wildcard, search_bits=tuple(bits),
+                    verify_slab=self.verify_slab, cand_slab=self.cand_slab,
+                    seeds=seeds,
+                )
+                results.append((a, z, r))
+            out = [np.empty(m, t) for t in
+                   (np.uint32, np.int32, bool, np.int32, bool)]
+            for a, z, r in results:  # fetch after all dispatches (overlap)
+                for o, x in zip(out, r):
+                    o[a:z] = np.asarray(x)[: z - a]
+            return out
+
+        # Phase A: seed 0 only, both strands.  A read whose best hit has 0
+        # mismatches is FINAL here: the early-exit gate (mapping.cpp:248-263)
+        # skips seeds 1..2 on both strand passes, so the reference's fold
+        # state equals phase A's fold state exactly (SURVEY 7.3.5 economics:
+        # ~80% of mapped reads resolve at seed 0).
+        pos, times, minus, mm, fb = run(codes, lens, (0,))
+        todo = np.flatnonzero((mm != 0) | fb)
+        if todo.size:
+            pos2, times2, minus2, mm2, fb2 = run(
+                codes[todo], lens[todo], None
             )
-            results.append((a, z, r))
-        pos = np.empty(n, dtype=np.uint32)
-        times = np.empty(n, dtype=np.int32)
-        minus = np.empty(n, dtype=bool)
-        mm = np.empty(n, dtype=np.int32)
-        fb = np.empty(n, dtype=bool)
-        for a, z, r in results:  # fetch after all dispatches (overlap)
-            pos[a:z] = np.asarray(r[0])[: z - a]
-            times[a:z] = np.asarray(r[1])[: z - a]
-            minus[a:z] = np.asarray(r[2])[: z - a]
-            mm[a:z] = np.asarray(r[3])[: z - a]
-            fb[a:z] = np.asarray(r[4])[: z - a]
+            pos[todo] = pos2
+            times[todo] = times2
+            minus[todo] = minus2
+            mm[todo] = mm2
+            fb[todo] = fb2
         self.total_reads += n
         self.fallback_reads += int(fb.sum())
         return pos, times, minus, mm, fb

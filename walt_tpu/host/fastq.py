@@ -45,6 +45,25 @@ class FgetsLines:
     def close(self):
         self._f.close()
 
+    def fill(self, n_lines: int) -> int:
+        """Buffer input until ``n_lines`` newlines are available (or EOF).
+
+        Returns the number of newlines buffered (may be less at EOF).
+        Consumes nothing; next_line() continues to work on the buffer.
+        """
+        count = self._buf.count(b"\n")
+        while count < n_lines:
+            chunk = self._f.read(1 << 20)
+            if not chunk:
+                break
+            self._buf += chunk
+            count += chunk.count(b"\n")
+        return count
+
+    def take_buffer(self, n_bytes: int) -> None:
+        """Drop the first n_bytes of the buffer (fast path consumed them)."""
+        self._buf = self._buf[n_bytes:]
+
     def next_line(self):
         """One fgets call: up to MAX_LINE_LENGTH-1 bytes, through a newline.
 
@@ -99,12 +118,18 @@ class ReadBatch:
     names: list  # str
     seqs: list  # bytes (post clip + toACGT: strictly ACGT)
     quals: list  # bytes
+    _codes: np.ndarray | None = None  # precomputed by the fast loader
+    _lens: np.ndarray | None = None
 
     def __len__(self):
         return len(self.names)
 
     def packed(self, pad_to: int | None = None):
         """(codes uint8 (B, Lmax) PAD_CODE-padded, lengths int32 (B,))."""
+        if self._codes is not None and (
+            pad_to is None or pad_to == self._codes.shape[1]
+        ):
+            return self._codes, self._lens
         lens = np.array([len(s) for s in self.seqs], dtype=np.int32)
         lmax = int(pad_to or (lens.max() if len(lens) else 0))
         codes = np.full((len(self.seqs), lmax), PAD_CODE, dtype=np.uint8)
@@ -114,6 +139,82 @@ class ReadBatch:
 
 
 def load_batch(lines: FgetsLines, n_reads: int, adaptor: bytes = b"") -> ReadBatch:
+    """One batch of up to n_reads records (mapping.cpp:65-121).
+
+    Regular input (no adaptor clipping, no empty/over-999-byte lines) takes
+    a NumPy-vectorized path; anything irregular falls back to the exact
+    line-by-line loop.  Both produce identical batches.
+    """
+    if not adaptor:
+        fast = _load_batch_fast(lines, n_reads)
+        if fast is not None:
+            return fast
+    return _load_batch_slow(lines, n_reads, adaptor)
+
+
+def _load_batch_fast(lines: FgetsLines, n_reads: int):
+    n_nl = lines.fill(4 * n_reads)
+    if n_nl == 0 and not lines._buf:
+        return ReadBatch(names=[], seqs=[], quals=[])
+    data = np.frombuffer(lines._buf, dtype=np.uint8)
+    nl = np.flatnonzero(data == 10)[: 4 * n_reads]
+    if nl.size < 4 * n_reads:
+        # EOF tail: a final unterminated line still counts (fgets returns it)
+        if nl.size == 0 or int(nl[-1]) != data.shape[0] - 1:
+            return None  # oddball EOF handling -> exact slow path
+    if nl.size % 4 or nl.size == 0:
+        return None
+    starts = np.empty(nl.size, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = nl[:-1] + 1
+    lens = nl - starts  # content length (newline stripped)
+    if int(lens.min()) == 0 or int((nl - starts).max()) > MAX_LINE_LENGTH - 2:
+        return None  # empty or fgets-split lines -> exact slow path
+    buf = lines._buf
+
+    name_s, name_e = starts[0::4] + 1, nl[0::4]
+    seq_s, seq_e = starts[1::4], nl[1::4]
+    qual_s, qual_e = starts[3::4], nl[3::4]
+    B = name_s.shape[0]
+
+    # toACGT over all sequence bytes at once, preserving the reference's
+    # sequential rand() consumption order (reads in order, bases in order:
+    # row-major over the (B, lmax) block, padding masked out)
+    slens = (seq_e - seq_s).astype(np.int32)
+    lmax = int(slens.max())
+    col = np.arange(lmax, dtype=np.int32)[None, :]
+    valid = col < slens[:, None]
+    idx2d = seq_s.astype(np.int32)[:, None] + col
+    codes = BASE_TO_CODE[data[np.minimum(idx2d, data.shape[0] - 1)]]
+    codes[~valid] = PAD_CODE
+    bad = np.flatnonzero(codes == 255)  # row-major == read order, base order
+    if bad.size:
+        rng = GlibcRand(0)  # srand(0) per batch, mapping.cpp:73
+        codes.reshape(-1)[bad] = rng.random_bases(bad.size)
+    dec = codes.copy()
+    dec[~valid] = 0
+    all_bytes = CODE_TO_BASE[dec].tobytes()
+
+    names = []
+    seqs = []
+    quals = []
+    ns, ne = name_s.tolist(), name_e.tolist()
+    sl = slens.tolist()
+    qs, qe = qual_s.tolist(), qual_e.tolist()
+    for i in range(B):
+        raw = buf[ns[i] : ne[i]]
+        sp = raw.find(b" ")
+        names.append((raw if sp < 0 else raw[:sp]).decode())
+        seqs.append(all_bytes[i * lmax : i * lmax + sl[i]])
+        quals.append(buf[qs[i] : qe[i]])
+
+    lines.take_buffer(int(nl[-1]) + 1)
+    return ReadBatch(
+        names=names, seqs=seqs, quals=quals, _codes=codes, _lens=slens,
+    )
+
+
+def _load_batch_slow(lines: FgetsLines, n_reads: int, adaptor: bytes = b"") -> ReadBatch:
     """One batch of up to n_reads records (mapping.cpp:65-121)."""
     rng = GlibcRand(0)  # srand(0) per batch, mapping.cpp:73
     names, seqs, quals = [], [], []

@@ -89,19 +89,42 @@ def build_device_table(genome: Genome, table: HashTable,
     from walt_tpu.core.refmap import padded_seq
 
     seq = padded_seq(genome, pattern)
-    # Entries whose deep cared positions run past their chromosome: their
-    # bucket's raw order may differ from the sorted order the reference
-    # binary-searches, so those buckets take the exact host path.
+    key_words = pack_key_words(seq, table.index, pattern)
+
+    # Entries whose deep cared positions run past their chromosome were
+    # sorted with the boundary-aware comparator (reference.cpp:258-288), so
+    # the bucket's raw-byte order MAY differ from its stored order.  The
+    # masked-prefix binary search is exact whenever the stored key_words
+    # sequence is still lexicographically non-decreasing (any prefix of a
+    # sorted sequence is sorted), so only buckets that contain a boundary
+    # entry AND are actually non-monotone take the exact host path.
     idx = table.index.astype(np.int64)
     chrom_id = genome.chrom_id_of(idx)
     remain = genome.start_index.astype(np.int64)[chrom_id + 1] - idx
     short = np.flatnonzero(remain <= int(pattern.cared[-1]))
     flagged = np.zeros(pattern.n_buckets, dtype=bool)
     if short.size:
-        buckets = np.searchsorted(table.counter, short, side="right") - 1
-        flagged[buckets] = True
-
-    key_words = pack_key_words(seq, table.index, pattern)
+        boundary = np.zeros(pattern.n_buckets, dtype=bool)
+        boundary[np.searchsorted(table.counter, short, side="right") - 1] = True
+        n = idx.shape[0]
+        if n > 1:
+            a, b = key_words[:-1], key_words[1:]
+            desc = (
+                (a[:, 0] > b[:, 0])
+                | ((a[:, 0] == b[:, 0]) & (a[:, 1] > b[:, 1]))
+                | ((a[:, 0] == b[:, 0]) & (a[:, 1] == b[:, 1]) & (a[:, 2] > b[:, 2]))
+            )
+            # ignore violations across bucket boundaries
+            pair_bucket = np.searchsorted(table.counter, np.arange(n - 1),
+                                          side="right") - 1
+            same = pair_bucket == (
+                np.searchsorted(table.counter, np.arange(1, n), side="right") - 1
+            )
+            bad = np.zeros(pattern.n_buckets, dtype=bool)
+            viol = np.flatnonzero(desc & same)
+            if viol.size:
+                bad[pair_bucket[viol]] = True
+            flagged = boundary & bad
 
     sizes = np.diff(table.counter.astype(np.int64))
     max_bucket = int(sizes.max()) if sizes.size else 1

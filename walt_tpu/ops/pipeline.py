@@ -56,7 +56,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
                     ag_wildcard: bool, search_bits: int,
                     verify_slab: int = VERIFY_SLAB,
                     cand_slab: int = CAND_SLAB,
-                    key_base=None):
+                    key_base=None, seeds: tuple | None = None):
     """Map a read batch against one table (trace-level core).
 
     preads: (B, W) uint32 packed read codes; lens: (B,) int32; pseq: packed
@@ -70,6 +70,8 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     """
     pattern = get_pattern(pattern_name)
     plen = pattern.pattern_len
+    seeds = tuple(range(plen)) if seeds is None else seeds
+    S = len(seeds)
     kw = pattern.key_weight
     cared = pattern.cared
     B, W = preads.shape
@@ -83,20 +85,33 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     repeats = jnp.minimum((lens - plen + 1) // plen, pattern.max_repeats())
     seed_len = jnp.minimum(repeats * pattern.cared_weight, pattern.cared_size)
 
-    def lane(pos: int):
-        """(B,) uint32 base at static position pos (0 past the packed end)."""
-        if pos >= Lmax:
-            return jnp.zeros(B, dtype=jnp.uint32)
-        return packing.extract_lane(conv, pos)
+    # cared-base extraction, fully vectorized over static position tables:
+    # pos[s][p] = cared[p] + seed shift s -> word index / in-word shift
+    import numpy as np
 
-    # --- seed hash keys: (B, S), all offsets static ---
-    keys = []
-    for s in range(plen):
-        k = jnp.zeros(B, dtype=jnp.uint32)
-        for i in range(kw):
-            k = (k << 2) | lane(int(cared[i]) + s)
-        keys.append(k)
-    key = jnp.stack(keys, axis=1)  # (B, S)
+    n_cared = min(pattern.cared_size, kw + 48)
+    pos_tab = np.asarray(
+        [[int(cared[p]) + s for p in range(n_cared)] for s in seeds]
+    )  # (S, n_cared)
+    in_range_tab = pos_tab < Lmax
+    word_tab = jnp.asarray(np.where(in_range_tab, pos_tab // 16, 0))
+    shift_tab = jnp.asarray(
+        (30 - 2 * (pos_tab % 16)).astype(np.uint32)[None, :, :]
+    )  # (1, S, n_cared)
+    # (B, S, n_cared) base codes at every (shift, cared position)
+    cvals = (conv[:, word_tab] >> shift_tab) & 3
+    cvals = jnp.where(jnp.asarray(in_range_tab)[None, :, :], cvals, 0)
+
+    def pack16(vals):
+        """(…, k<=16) 2-bit codes -> one uint32, first value most significant."""
+        k = vals.shape[-1]
+        w = jnp.asarray(
+            np.arange(k - 1, -1, -1, dtype=np.uint32) * 2
+        )
+        return jnp.sum(vals << w, axis=-1, dtype=jnp.uint32)
+
+    # --- seed hash keys: (B, S) ---
+    key = pack16(cvals[..., :kw])
 
     if key_base is None:
         lo = jnp.take(counter, key).astype(jnp.int32)  # (B, S)
@@ -113,15 +128,13 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     # --- read prefix key words (cared[kw..kw+47] per shift) + masks ---
     rwords = []
     for w in range(3):
-        accs = []
-        for s in range(plen):
-            acc = jnp.zeros(B, dtype=jnp.uint32)
-            for i in range(16):
-                p = kw + w * 16 + i
-                v = lane(int(cared[p]) + s) if p < pattern.cared_size else 0
-                acc = (acc << 2) | v
-            accs.append(acc)
-        rwords.append(jnp.stack(accs, axis=1))  # (B, S)
+        a, z = kw + w * 16, min(kw + w * 16 + 16, n_cared)
+        if a >= z:
+            rwords.append(jnp.zeros((B, S), dtype=jnp.uint32))
+            continue
+        vals = cvals[..., a:z]
+        word = pack16(vals) << jnp.uint32(2 * (16 - (z - a)))
+        rwords.append(word)  # (B, S)
     # number of compared positions per word, from per-read seed_len
     masks = []
     for w in range(3):
@@ -130,7 +143,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         m = jnp.where(
             nbits > 0, jnp.uint32(0xFFFFFFFF) << shift, jnp.uint32(0)
         )
-        masks.append(jnp.broadcast_to(m, (B, plen)))
+        masks.append(jnp.broadcast_to(m, (B, S)))
     r0, r1, r2 = (rw & m for rw, m in zip(rwords, masks))
 
     kw0, kw1, kw2 = (key_words[:, w] for w in range(3))
@@ -165,7 +178,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     eff = jnp.where(capped | overflow | ~read_ok[:, None], 0, cnt)
 
     # --- verify the refined slab ---
-    shifts = jnp.arange(plen, dtype=jnp.int32)  # (S,)
+    shifts = jnp.asarray(seeds, dtype=jnp.int32)  # (S,)
     j = jnp.arange(verify_slab, dtype=jnp.int32)
     slot = lower[:, :, None] + j[None, None, :]
     entry = jnp.take(index, jnp.clip(slot, 0, n_entries - 1)).astype(jnp.int32)  # (B,S,C)
@@ -203,7 +216,6 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     keep = (j[None, None, :] < eff[:, :, None]) & ok_head & ok_tail & (mm <= max_mm)
 
     # --- ordered compaction into the candidate slab ---
-    S = plen
     keep_f = keep.reshape(B, S * verify_slab)
     dest = jnp.cumsum(keep_f, axis=1) - 1
     dest = jnp.where(keep_f, dest, cand_slab)  # dropped by scatter mode
@@ -237,18 +249,19 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "pattern_name", "ag_wildcard", "search_bits", "verify_slab", "cand_slab",
+        "pattern_name", "ag_wildcard", "search_bits", "verify_slab",
+        "cand_slab", "seeds",
     ),
 )
 def map_strand_device(preads, lens, b, max_mm, pseq, counter, index, key_words,
                       start_index, bucket_flagged, *, pattern_name: str,
                       ag_wildcard: bool, search_bits: int,
                       verify_slab: int = VERIFY_SLAB,
-                      cand_slab: int = CAND_SLAB):
+                      cand_slab: int = CAND_SLAB, seeds: tuple | None = None):
     """Single-chip jitted entry over the full (unsharded) table."""
     return map_strand_core(
         preads, lens, b, max_mm, pseq, counter, index, key_words,
         start_index, bucket_flagged, pattern_name=pattern_name,
         ag_wildcard=ag_wildcard, search_bits=search_bits,
-        verify_slab=verify_slab, cand_slab=cand_slab,
+        verify_slab=verify_slab, cand_slab=cand_slab, seeds=seeds,
     )

@@ -84,14 +84,16 @@ def se_fold(slabs, max_mm, pattern):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "pattern_name", "ag_wildcard", "search_bits", "verify_slab", "cand_slab",
+        "pattern_name", "ag_wildcard", "search_bits", "verify_slab",
+        "cand_slab", "seeds",
     ),
 )
 def map_single_end_device(preads, lens, b, max_mm, tables, *,
                           pattern_name: str, ag_wildcard: bool,
                           search_bits: tuple,
                           verify_slab: int = pipeline.VERIFY_SLAB,
-                          cand_slab: int = pipeline.CAND_SLAB):
+                          cand_slab: int = pipeline.CAND_SLAB,
+                          seeds: tuple | None = None):
     """Full SE mapping step: both strand tables -> per-read BestMatch.
 
     ``tables``: tuple of two dicts (keys: pseq, counter, index, key_words,
@@ -108,6 +110,7 @@ def map_single_end_device(preads, lens, b, max_mm, tables, *,
             t["key_words"], t["start_index"], t["bucket_flagged"],
             pattern_name=pattern_name, ag_wildcard=ag_wildcard,
             search_bits=bits, verify_slab=verify_slab, cand_slab=cand_slab,
+            seeds=seeds,
         )
         slabs.append((cs, cp, cm))
         fallback = fb if fallback is None else (fallback | fb)
