@@ -72,7 +72,9 @@ def test_golden_jax_backend(work, ref_walt, ref_index, se_fastq, pe_fastq):
         open(out + ".mapstats", "w").close()
     subprocess.run(
         [ref_walt, "-i", ref_index, "-r", se_fastq, "-1", pe_fastq[0],
-         "-2", pe_fastq[1], "-o", ref_out, "-sam"],
+         # small -N: the reference preallocates O(N) strings/heaps per batch
+         # (paired.cpp:598-607) -- minutes of page faults at the 10M default
+         "-2", pe_fastq[1], "-o", ref_out, "-sam", "-N", "100000"],
         check=True, capture_output=True,
     )
     process_single_end(ref_index, se_fastq, my_out, sam=True, backend=be)

@@ -16,6 +16,17 @@ def _clear(out, extra=()):
     open(out + ".mapstats", "w").close()
 
 
+def _ref_N(flags):
+    """Shrink the reference's -N batch preallocation (default 10M).
+
+    ProcessPairedEndReads/ProcessSingledEndReads preallocate O(N) strings and
+    heaps up front (paired.cpp:598-607); with the 10M default that is minutes
+    of page-fault time per invocation on this host.  All test inputs are far
+    below 100k reads, so the output is identical.
+    """
+    return flags if "-N" in flags else ["-N", "100000"] + flags
+
+
 def _cmp(a, b, label):
     assert os.path.exists(a) and os.path.exists(b), f"{label}: missing output"
     if not filecmp.cmp(a, b, shallow=False):
@@ -53,7 +64,7 @@ def test_single_end_golden(work, ref_walt, ref_index, se_fastq, flags, kwargs):
     _clear(my_out, side)
     subprocess.run(
         [ref_walt, "-i", ref_index, "-r", se_fastq, "-o", ref_out, "-a", "-u"]
-        + flags,
+        + _ref_N(flags),
         check=True, capture_output=True,
     )
     process_single_end(
@@ -84,7 +95,7 @@ def test_paired_end_golden(work, ref_walt, ref_index, pe_fastq, flags, kwargs):
     _clear(my_out, side)
     subprocess.run(
         [ref_walt, "-i", ref_index, "-1", pe_fastq[0], "-2", pe_fastq[1],
-         "-o", ref_out, "-a", "-u"] + flags,
+         "-o", ref_out, "-a", "-u"] + _ref_N(flags),
         check=True, capture_output=True,
     )
     process_paired_end(
@@ -106,7 +117,7 @@ def test_adaptor_clipping_golden(work, ref_walt, ref_index, se_fastq_clippable):
     _clear(my_out)
     subprocess.run(
         [ref_walt, "-i", ref_index, "-r", se_fastq_clippable, "-o", ref_out,
-         "-C", adaptor],
+         "-C", adaptor, "-N", "100000"],
         check=True, capture_output=True,
     )
     process_single_end(ref_index, se_fastq_clippable, my_out, adaptor=adaptor)
