@@ -17,4 +17,8 @@ Reference behavior citations use ``path:line`` into the upstream repo, e.g.
 
 __version__ = "0.1.0"
 
+from walt_tpu.hostmem import tune_malloc as _tune_malloc
+
+_tune_malloc()
+
 from walt_tpu.constants import SeedPattern, get_pattern  # noqa: F401

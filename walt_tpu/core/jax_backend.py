@@ -31,19 +31,44 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _enable_compile_cache():
+    """Persistent on-disk XLA compile cache (tunnel compiles run minutes)."""
+    import os
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("WALTX_JAX_CACHE", "/tmp/waltx_jaxcache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 class JaxBackend:
     name = "jax"
 
-    def __init__(self, chunk: int = 8192, len_pad: int = 32,
+    def __init__(self, chunk: int = 16384, small_chunk: int = 2048,
+                 len_pad: int = 16,
                  verify_slab: int = pipeline.VERIFY_SLAB,
-                 cand_slab: int = pipeline.CAND_SLAB):
+                 cand_slab: int = pipeline.CAND_SLAB,
+                 verify_slab_t1: int = pipeline.VERIFY_SLAB_T1):
         self.chunk = chunk
+        self.small_chunk = small_chunk
         self.len_pad = len_pad
         self.verify_slab = verify_slab
         self.cand_slab = cand_slab
+        self.verify_slab_t1 = verify_slab_t1
         self._tables = {}
         self.fallback_reads = 0
         self.total_reads = 0
+        # measured fraction of reads whose best hit resolves at seed 0 with 0
+        # mismatches (the reference's early exit, mapping.cpp:248-263); decides
+        # whether a dedicated seed-0 phase pays for itself on this workload
+        self._seed0_rate = None
+        _enable_compile_cache()
 
     def _device_table(self, genome: Genome, table: HashTable,
                       pattern: SeedPattern):
@@ -65,7 +90,12 @@ class JaxBackend:
 
     def _chunks(self, codes: np.ndarray, lens: np.ndarray,
                 pattern: SeedPattern):
-        """Pack reads and yield fixed-shape (preads, lens) device chunks."""
+        """Pack reads and yield fixed-shape (preads, lens) device chunks.
+
+        Two chunk shapes only (self.chunk and self.small_chunk) so the
+        compile set stays tiny while revisit phases on a few hundred reads
+        do not pay a full-size chunk of device time.
+        """
         n = codes.shape[0]
         Lmax = _round_up(max(int(codes.shape[1]), pattern.min_read_len),
                          self.len_pad)
@@ -73,16 +103,17 @@ class JaxBackend:
         packed = packing.pack_codes_np(
             np.pad(codes, ((0, 0), (0, Lmax - codes.shape[1])))
         )
-        # fixed chunk shape: one compile per (chunk, W), reused forever
-        chunk = self.chunk
         out = []
-        for a in range(0, n, chunk):
+        a = 0
+        while a < n:
+            chunk = self.small_chunk if n - a <= self.small_chunk else self.chunk
             z = min(a + chunk, n)
             pc = np.zeros((chunk, W), dtype=np.uint32)
             pc[: z - a] = packed[a:z]
             pl = np.zeros(chunk, dtype=np.int32)
             pl[: z - a] = lens[a:z]
             out.append((a, z, jnp.asarray(pc), jnp.asarray(pl)))
+            a = z
         return out
 
     def map_single_end(self, codes: np.ndarray, lens: np.ndarray, tables,
@@ -101,7 +132,7 @@ class JaxBackend:
             devs.append(dev)
             bits.append(dt.max_bucket_bits)
 
-        def run(codes_, lens_, seeds):
+        def run(codes_, lens_, seeds, slab):
             m = codes_.shape[0]
             results = []
             for a, z, pc, pl in self._chunks(codes_, lens_, pattern):
@@ -109,8 +140,7 @@ class JaxBackend:
                     pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
                     tuple(devs), pattern_name=pattern.name,
                     ag_wildcard=ag_wildcard, search_bits=tuple(bits),
-                    verify_slab=self.verify_slab, cand_slab=self.cand_slab,
-                    seeds=seeds,
+                    verify_slab=slab, cand_slab=self.cand_slab, seeds=seeds,
                 )
                 results.append((a, z, r))
             out = [np.empty(m, t) for t in
@@ -120,22 +150,38 @@ class JaxBackend:
                     o[a:z] = np.asarray(x)[: z - a]
             return out
 
+        def merge(into, idx, vals):
+            for o, v in zip(into, vals):
+                o[idx] = v
+
         # Phase A: seed 0 only, both strands.  A read whose best hit has 0
         # mismatches is FINAL here: the early-exit gate (mapping.cpp:248-263)
         # skips seeds 1..2 on both strand passes, so the reference's fold
-        # state equals phase A's fold state exactly (SURVEY 7.3.5 economics:
-        # ~80% of mapped reads resolve at seed 0).
-        pos, times, minus, mm, fb = run(codes, lens, (0,))
-        todo = np.flatnonzero((mm != 0) | fb)
-        if todo.size:
-            pos2, times2, minus2, mm2, fb2 = run(
-                codes[todo], lens[todo], None
+        # state equals phase A's fold state exactly.  Whether it pays depends
+        # on the error profile of the workload (for the reference's datasets
+        # ~80% of mapped reads resolve at seed 0, Table S13; for high-error
+        # input it is pure overhead), so the observed resolve rate decides.
+        if self._seed0_rate is None or self._seed0_rate >= 0.5:
+            out = run(codes, lens, (0,), self.verify_slab_t1)
+            pos, times, minus, mm, fb = out
+            resolved = (mm == 0) & ~fb
+            rate = float(resolved.mean()) if n else 1.0
+            self._seed0_rate = rate if self._seed0_rate is None else (
+                0.5 * self._seed0_rate + 0.5 * rate
             )
-            pos[todo] = pos2
-            times[todo] = times2
-            minus[todo] = minus2
-            mm[todo] = mm2
-            fb[todo] = fb2
+            # Phase B: full seed schedule for unresolved reads.
+            todo = np.flatnonzero(~resolved)
+            if todo.size:
+                merge(out, todo,
+                      run(codes[todo], lens[todo], None, self.verify_slab_t1))
+        else:
+            out = run(codes, lens, None, self.verify_slab_t1)
+            pos, times, minus, mm, fb = out
+        # Tier 2: larger verify slab for reads whose refined run overflowed.
+        todo = np.flatnonzero(fb)
+        if todo.size:
+            merge(out, todo,
+                  run(codes[todo], lens[todo], None, self.verify_slab))
         self.total_reads += n
         self.fallback_reads += int(fb.sum())
         return pos, times, minus, mm, fb

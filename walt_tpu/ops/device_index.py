@@ -103,6 +103,18 @@ def build_device_table(genome: Genome, table: HashTable,
     remain = genome.start_index.astype(np.int64)[chrom_id + 1] - idx
     short = np.flatnonzero(remain <= int(pattern.cared[-1]))
     flagged = np.zeros(pattern.n_buckets, dtype=bool)
+    # Entries whose deep cared positions run past the GLOBAL genome end read
+    # the undefined pad region in the reference (and LOOKUP_PAD in the host
+    # oracle, refmap.py:30); no in-window compare can reproduce that, so such
+    # buckets always take the exact host path.  Only the last cared[-1] bases
+    # of the final chromosome qualify.
+    glob_short = np.flatnonzero(
+        (genome.length_of_genome - idx) <= int(pattern.cared[-1])
+    )
+    if glob_short.size:
+        flagged[
+            np.searchsorted(table.counter, glob_short, side="right") - 1
+        ] = True
     if short.size:
         boundary = np.zeros(pattern.n_buckets, dtype=bool)
         boundary[np.searchsorted(table.counter, short, side="right") - 1] = True
@@ -124,7 +136,7 @@ def build_device_table(genome: Genome, table: HashTable,
             viol = np.flatnonzero(desc & same)
             if viol.size:
                 bad[pair_bucket[viol]] = True
-            flagged = boundary & bad
+            flagged |= boundary & bad
 
     sizes = np.diff(table.counter.astype(np.int64))
     max_bucket = int(sizes.max()) if sizes.size else 1

@@ -5,11 +5,16 @@ One XLA program maps a fixed-shape read batch against one table:
 1. seed hashing: the 12 cared bases per (read, shift) are extracted from the
    2-bit-packed read words at static offsets and packed to a bucket key
    (util.hpp:175-182);
-2. bucket refinement: two masked-prefix binary searches over the packed key
-   words (see ops/device_index.py) -- the equal range equals the reference's
-   IndexRegion result (mapping.cpp:198-222) for unflagged buckets;
-3. the -b cap (mapping.cpp:275-277) and boundary rejections
-   (mapping.cpp:281-286);
+2. bucket refinement, restructured for TPU: ONE masked-prefix lower-bound
+   binary search over precomputed packed key words finds where the refined
+   run starts, and membership in the run is then decided per verified entry
+   by a cared-position masked popcount on the SAME genome window the
+   verifier gathers anyway -- no upper-bound search, no extra probes.  For
+   an unflagged bucket (monotone stored order, ops/device_index.py) the
+   match set equals the reference's IndexRegion equal range
+   (mapping.cpp:166-222);
+3. the -b cap on the refined count (mapping.cpp:275-277) and chromosome
+   boundary rejections (mapping.cpp:281-286);
 4. verification: the candidate window is assembled from the packed converted
    genome (contiguous word-slice gather + align) and compared against the
    packed converted read with XOR + lane-fold + popcount -- 16 bases per op
@@ -19,9 +24,12 @@ One XLA program maps a fixed-shape read batch against one table:
    preserving (seed asc, bucket position asc) examination order for the host
    replay / device fold.
 
-Reads that exceed any fixed shape (refined region > VERIFY_SLAB, more than
-CAND_SLAB surviving candidates) or touch a flagged bucket raise a per-read
-fallback bit; the driver remaps those few reads with the exact host path.
+The verify slab is deliberately small (VERIFY_SLAB_T1): refined runs are
+almost always tiny, and slab size is the dominant term in per-read HBM
+traffic.  A read whose run might extend past the slab (every examined slot
+still matched and bucket entries remain) raises ``fallback``; the driver
+re-runs those reads with a larger slab and only then the exact host path.
+Flagged buckets (boundary sort quirks) always take the host path.
 
 All read/genome base data is packed 16 bases per uint32 word (ops/packing);
 reads are packed on host, conversion (C->T / G->A, mapping.cpp:142-164)
@@ -34,27 +42,57 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from walt_tpu.constants import get_pattern
 from walt_tpu.ops import packing
 
-#: max refined-region entries verified on device per (read, seed)
+#: tier-1 verify slab: refined entries verified per (read, seed); tiny on
+#: purpose -- see module docstring
+VERIFY_SLAB_T1 = 8
+#: tier-2 verify slab for reads that overflowed tier 1
 VERIFY_SLAB = 64
 #: max surviving candidates per (read, strand)
 CAND_SLAB = 32
 
 
-def _lex_ge_gt(e0, e1, e2, r0, r1, r2):
-    """Lexicographic (entry >= read, entry > read) on 3 masked words."""
-    gt = (e0 > r0) | ((e0 == r0) & ((e1 > r1) | ((e1 == r1) & (e2 > r2))))
-    eq = (e0 == r0) & (e1 == r1) & (e2 == r2)
-    return gt | eq, gt
+def _lex_ge(e0, e1, e2, r0, r1, r2):
+    """Lexicographic (entry >= read) on 3 masked words."""
+    return (e0 > r0) | (
+        (e0 == r0) & ((e1 > r1) | ((e1 == r1) & (e2 >= r2)))
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _cared_mask_table(pattern_name: str, seeds: tuple, n_words: int):
+    """Static (S * (cared_size+1), W) lane masks of cared[kw..t) shifted by s.
+
+    Level t is the read's seed_len: mask[s][t] has the lo lane bit set at
+    read position cared[j]+s for every cared index j in [key_weight, t) --
+    the positions the reference's sorted-bucket refinement compares beyond
+    the hash key (mapping.cpp:198-222).  Bits past the packed window are
+    dropped (such positions cannot occur for any read fitting the window).
+    """
+    pattern = get_pattern(pattern_name)
+    kw = pattern.key_weight
+    L = pattern.cared_size
+    tab = np.zeros((len(seeds), L + 1, n_words), dtype=np.uint32)
+    for si, s in enumerate(seeds):
+        acc = np.zeros(n_words, dtype=np.uint32)
+        for t in range(kw + 1, L + 1):
+            p = int(pattern.cared[t - 1]) + s
+            if p < n_words * 16:
+                acc[p // 16] |= np.uint32(1) << np.uint32(30 - 2 * (p % 16))
+            tab[si, t] = acc
+    # NumPy, not jnp: this is lru_cached across traces, and a jnp constant
+    # created inside one trace must not leak into another
+    return tab.reshape(len(seeds) * (L + 1), n_words)
 
 
 def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
                     start_index, bucket_flagged, *, pattern_name: str,
                     ag_wildcard: bool, search_bits: int,
-                    verify_slab: int = VERIFY_SLAB,
+                    verify_slab: int = VERIFY_SLAB_T1,
                     cand_slab: int = CAND_SLAB,
                     key_base=None, seeds: tuple | None = None):
     """Map a read batch against one table (trace-level core).
@@ -77,6 +115,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     B, W = preads.shape
     Lmax = W * 16
     n_entries = index.shape[0]
+    C = verify_slab
 
     # --- read conversion (mapping.cpp:142-164) on packed words ---
     conv = packing.convert_ga(preads) if ag_wildcard else packing.convert_ct(preads)
@@ -87,8 +126,6 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
 
     # cared-base extraction, fully vectorized over static position tables:
     # pos[s][p] = cared[p] + seed shift s -> word index / in-word shift
-    import numpy as np
-
     n_cared = min(pattern.cared_size, kw + 48)
     pos_tab = np.asarray(
         [[int(cared[p]) + s for p in range(n_cared)] for s in seeds]
@@ -153,33 +190,24 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         e0 = jnp.take(kw0, midc) & masks[0]  # (B, S)
         e1 = jnp.take(kw1, midc) & masks[1]
         e2 = jnp.take(kw2, midc) & masks[2]
-        return _lex_ge_gt(e0, e1, e2, r0, r1, r2)
+        return _lex_ge(e0, e1, e2, r0, r1, r2)
 
-    def bsearch(pred_is_gt):
-        def body(_, lr):
-            l, r = lr
-            mid = (l + r) // 2
-            ge, gt = probe(mid)
-            pred = gt if pred_is_gt else ge
-            active = l < r
-            r = jnp.where(active & pred, mid, r)
-            l = jnp.where(active & ~pred, mid + 1, l)
-            return l, r
+    def body(_, lr):
+        l, r = lr
+        mid = (l + r) // 2
+        ge = probe(mid)
+        active = l < r
+        r = jnp.where(active & ge, mid, r)
+        l = jnp.where(active & ~ge, mid + 1, l)
+        return l, r
 
-        l, _ = jax.lax.fori_loop(0, search_bits, body, (lo, hi))
-        return l
+    # first entry >= read prefix: the refined run starts here
+    lower, _ = jax.lax.fori_loop(0, search_bits, body, (lo, hi))
 
-    lower = bsearch(False)  # first entry >= read prefix
-    upper = bsearch(True)  # first entry > read prefix
-    cnt = upper - lower  # refined region size (B, S)
-
-    capped = cnt > b  # seed skipped entirely (mapping.cpp:275-277)
-    overflow = (~capped) & (cnt > verify_slab)
-    eff = jnp.where(capped | overflow | ~read_ok[:, None], 0, cnt)
-
-    # --- verify the refined slab ---
+    # --- verify the slab [lower, lower + C) clipped to the bucket ---
     shifts = jnp.asarray(seeds, dtype=jnp.int32)  # (S,)
-    j = jnp.arange(verify_slab, dtype=jnp.int32)
+    j = jnp.arange(C, dtype=jnp.int32)
+    in_bucket = j[None, None, :] < (hi - lower)[:, :, None]
     slot = lower[:, :, None] + j[None, None, :]
     entry = jnp.take(index, jnp.clip(slot, 0, n_entries - 1)).astype(jnp.int32)  # (B,S,C)
     chrom = (
@@ -193,11 +221,12 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     ok_tail = (gpos + lens[:, None, None]) < ch_end  # mapping.cpp:285 ('>=' skips)
 
     win = packing.window_words(pseq, gpos, W)  # (B, S, C, W)
+    d = win ^ conv[:, None, None, :]
+    fold = d | (d >> 1)
+
     lane_masks = packing.len_lane_masks(lens, W)  # (B, W)
     mm = jnp.sum(
-        packing.count_mismatch_words(
-            win, conv[:, None, None, :], lane_masks[:, None, None, :]
-        ),
+        jax.lax.population_count(fold & lane_masks[:, None, None, :]),
         axis=-1,
         dtype=jnp.int32,
     )
@@ -213,10 +242,38 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
             )
             mm = mm - cond.astype(jnp.int32)
 
-    keep = (j[None, None, :] < eff[:, :, None]) & ok_head & ok_tail & (mm <= max_mm)
+    # refinement by match: an entry is in the reference's refined equal range
+    # iff its cared bases beyond the hash key all equal the read's
+    mask_tab = jnp.asarray(_cared_mask_table(pattern_name, seeds, W))  # (S*(L+1), W)
+    L1 = pattern.cared_size + 1
+    lvl = jnp.asarray(np.arange(S) * L1, dtype=jnp.int32)[None, :] + jnp.clip(
+        seed_len, 0, pattern.cared_size
+    )[:, None]
+    cared_mask = jnp.take(mask_tab, lvl, axis=0)  # (B, S, W)
+    eq0 = ~jnp.any(fold & cared_mask[:, :, None, :], axis=-1)  # (B, S, C)
+
+    refined = eq0 & in_bucket
+    refined_cnt = jnp.sum(refined, axis=-1, dtype=jnp.int32)  # (B, S)
+    capped = refined_cnt > b  # seed skipped entirely (mapping.cpp:275-277)
+    # run may extend past the slab: every examined slot matched and bucket
+    # entries remain beyond it -> this read needs a larger slab
+    examined = jnp.clip(hi - lower, 0, C)
+    # a capped seed is skipped no matter how long the run really is, so a
+    # partial count > b is already exact and needs no larger slab
+    overflow = (refined_cnt == examined) & ((hi - lower) > C) & ~capped
+
+    keep = (
+        refined
+        & ~capped[:, :, None]
+        & ~overflow[:, :, None]
+        & ok_head
+        & ok_tail
+        & (mm <= max_mm)
+        & read_ok[:, None, None]
+    )
 
     # --- ordered compaction into the candidate slab ---
-    keep_f = keep.reshape(B, S * verify_slab)
+    keep_f = keep.reshape(B, S * C)
     dest = jnp.cumsum(keep_f, axis=1) - 1
     dest = jnp.where(keep_f, dest, cand_slab)  # dropped by scatter mode
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
@@ -224,7 +281,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     def compact(vals, fill, dtype):
         out = jnp.full((B, cand_slab), fill, dtype=dtype)
         return out.at[rows, dest].set(
-            vals.reshape(B, S * verify_slab).astype(dtype), mode="drop"
+            vals.reshape(B, S * C).astype(dtype), mode="drop"
         )
 
     seed_tags = jnp.broadcast_to(seed_b, keep.shape)
@@ -234,10 +291,13 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     cand_cnt = jnp.sum(keep_f, axis=1, dtype=jnp.int32)
 
     fallback = (
-        jnp.any(overflow, axis=1)
-        # flagged buckets: the refined region itself is unreliable, so any
-        # nonempty flagged bucket sends the read to the exact host path
-        | jnp.any(flagged & (hi > lo), axis=1) & read_ok
+        (
+            jnp.any(overflow, axis=1)
+            # flagged buckets: stored order / padding quirks make the refined
+            # run irreproducible on device -> exact host path
+            | jnp.any(flagged & (hi > lo), axis=1)
+        )
+        & read_ok
         # packed key words cover cared positions kw..kw+47 only; longer
         # seeds (pattern 7 reads > 111bp) need the host path
         | (seed_len > kw + 48)
