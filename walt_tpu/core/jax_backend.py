@@ -89,12 +89,13 @@ class JaxBackend:
         return self._tables[key]
 
     def _chunks(self, codes: np.ndarray, lens: np.ndarray,
-                pattern: SeedPattern):
+                pattern: SeedPattern, chunk: int | None = None):
         """Pack reads and yield fixed-shape (preads, lens) device chunks.
 
-        Two chunk shapes only (self.chunk and self.small_chunk) so the
+        Two chunk shapes by default (self.chunk and self.small_chunk) so the
         compile set stays tiny while revisit phases on a few hundred reads
-        do not pay a full-size chunk of device time.
+        do not pay a full-size chunk of device time; tiers with a large
+        verify slab pass an explicit small ``chunk``.
         """
         n = codes.shape[0]
         Lmax = _round_up(max(int(codes.shape[1]), pattern.min_read_len),
@@ -106,11 +107,13 @@ class JaxBackend:
         out = []
         a = 0
         while a < n:
-            chunk = self.small_chunk if n - a <= self.small_chunk else self.chunk
-            z = min(a + chunk, n)
-            pc = np.zeros((chunk, W), dtype=np.uint32)
+            c = chunk if chunk is not None else (
+                self.small_chunk if n - a <= self.small_chunk else self.chunk
+            )
+            z = min(a + c, n)
+            pc = np.zeros((c, W), dtype=np.uint32)
             pc[: z - a] = packed[a:z]
-            pl = np.zeros(chunk, dtype=np.int32)
+            pl = np.zeros(c, dtype=np.int32)
             pl[: z - a] = lens[a:z]
             out.append((a, z, jnp.asarray(pc), jnp.asarray(pl)))
             a = z
@@ -132,22 +135,24 @@ class JaxBackend:
             devs.append(dev)
             bits.append(dt.max_bucket_bits)
 
-        def run(codes_, lens_, seeds, slab):
+        def run(codes_, lens_, seeds, slab, cand_slab=None, chunk=None):
             m = codes_.shape[0]
             results = []
-            for a, z, pc, pl in self._chunks(codes_, lens_, pattern):
+            for a, z, pc, pl in self._chunks(codes_, lens_, pattern, chunk):
                 r = se_fold.map_single_end_device(
                     pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
                     tuple(devs), pattern_name=pattern.name,
                     ag_wildcard=ag_wildcard, search_bits=tuple(bits),
-                    verify_slab=slab, cand_slab=self.cand_slab, seeds=seeds,
+                    verify_slab=slab, cand_slab=cand_slab or self.cand_slab,
+                    seeds=seeds,
                 )
                 results.append((a, z, r))
             out = [np.empty(m, t) for t in
                    (np.uint32, np.int32, bool, np.int32, bool)]
-            for a, z, r in results:  # fetch after all dispatches (overlap)
-                for o, x in zip(out, r):
-                    o[a:z] = np.asarray(x)[: z - a]
+            for a, z, r in results:  # one fetch per chunk, after all dispatches
+                vals = se_fold.unpack_se_result(np.asarray(r)[: z - a])
+                for o, x in zip(out, vals):
+                    o[a:z] = x
             return out
 
         def merge(into, idx, vals):
@@ -182,6 +187,14 @@ class JaxBackend:
         if todo.size:
             merge(out, todo,
                   run(codes[todo], lens[todo], None, self.verify_slab))
+        # Tier 3: highly repetitive reads (runs up to 512, e.g. transposon
+        # prefixes); small chunks keep the padded work bounded.  Whatever
+        # still falls back (flagged buckets, runs > 512) is for the host.
+        todo = np.flatnonzero(fb)
+        if todo.size:
+            merge(out, todo,
+                  run(codes[todo], lens[todo], None, 512, cand_slab=512,
+                      chunk=256))
         self.total_reads += n
         self.fallback_reads += int(fb.sum())
         return pos, times, minus, mm, fb
@@ -189,7 +202,7 @@ class JaxBackend:
     def map_strand_slabs(self, codes: np.ndarray, lens: np.ndarray,
                          genome: Genome, table: HashTable, ag_wildcard: bool,
                          b: int, max_mismatches: int, pattern: SeedPattern):
-        """Candidate slabs for a batch against one table.
+        """Candidate slabs for a batch against one table, slab-tiered.
 
         Returns (cand_seed (n,C) int8, cand_pos (n,C) uint32,
         cand_mm (n,C) int32, cand_cnt (n,) int32, fallback (n,) bool).
@@ -197,30 +210,42 @@ class JaxBackend:
         n = codes.shape[0]
         dt, dev = self._device_table(genome, table, pattern)
         C = self.cand_slab
-        results = []
-        for a, z, pc, pl in self._chunks(codes, lens, pattern):
-            r = pipeline.map_strand_device(
-                pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
-                pattern_name=pattern.name, ag_wildcard=ag_wildcard,
-                search_bits=dt.max_bucket_bits,
-                verify_slab=self.verify_slab, cand_slab=C,
-                **dev,
+
+        def run(codes_, lens_, slab, chunk=None):
+            m = codes_.shape[0]
+            results = []
+            for a, z, pc, pl in self._chunks(codes_, lens_, pattern, chunk):
+                r = pipeline.map_strand_device(
+                    pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
+                    pattern_name=pattern.name, ag_wildcard=ag_wildcard,
+                    search_bits=dt.max_bucket_bits,
+                    verify_slab=slab, cand_slab=C,
+                    **dev,
+                )
+                results.append((a, z, r))
+            out = (
+                np.empty((m, C), dtype=np.int8),
+                np.empty((m, C), dtype=np.uint32),
+                np.empty((m, C), dtype=np.int32),
+                np.empty(m, dtype=np.int32),
+                np.empty(m, dtype=bool),
             )
-            results.append((a, z, r))
-        out_seed = np.empty((n, C), dtype=np.int8)
-        out_pos = np.empty((n, C), dtype=np.uint32)
-        out_mm = np.empty((n, C), dtype=np.int32)
-        out_cnt = np.empty(n, dtype=np.int32)
-        out_fb = np.empty(n, dtype=bool)
-        for a, z, r in results:
-            out_seed[a:z] = np.asarray(r[0])[: z - a]
-            out_pos[a:z] = np.asarray(r[1])[: z - a]
-            out_mm[a:z] = np.asarray(r[2])[: z - a]
-            out_cnt[a:z] = np.asarray(r[3])[: z - a]
-            out_fb[a:z] = np.asarray(r[4])[: z - a]
+            for a, z, r in results:
+                for o, x in zip(out, r):
+                    o[a:z] = np.asarray(x)[: z - a]
+            return out
+
+        out = run(codes, lens, self.verify_slab_t1)
+        for slab, chunk in ((self.verify_slab, None), (512, 256)):
+            todo = np.flatnonzero(out[4])
+            if not todo.size:
+                break
+            vals = run(codes[todo], lens[todo], slab, chunk)
+            for o, v in zip(out, vals):
+                o[todo] = v
         self.total_reads += n
-        self.fallback_reads += int(out_fb.sum())
-        return out_seed, out_pos, out_mm, out_cnt, out_fb
+        self.fallback_reads += int(out[4].sum())
+        return out
 
     def map_strand(self, codes: np.ndarray, lens: np.ndarray, genome: Genome,
                    table: HashTable, ag_wildcard: bool, b: int,

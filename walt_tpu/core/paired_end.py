@@ -126,6 +126,59 @@ def merge_pair(genome, ranked1, ranked2, name, seq1, qual1, seq2, qual2,
         )
 
 
+def _emit_pair_finalized(genome, i, fin, name, seq1, qual1, seq2, qual2,
+                         frag_range, max_mismatches, sam, stat, fouts):
+    """Emission for one pair from the native finalizer's arrays.
+
+    Byte-identical to :func:`merge_pair` fed the same candidate streams; the
+    heap replay / pair join already happened in walt_tpu.native.
+    """
+    code = int(fin["code"][i])
+    sc = "+-"
+    bm1 = BestMatch(int(fin["bm_pos"][2 * i]), int(fin["bm_times"][2 * i]),
+                    sc[fin["bm_strand"][2 * i]], int(fin["bm_mm"][2 * i]))
+    bm2 = BestMatch(int(fin["bm_pos"][2 * i + 1]), int(fin["bm_times"][2 * i + 1]),
+                    sc[fin["bm_strand"][2 * i + 1]], int(fin["bm_mm"][2 * i + 1]))
+    is_paired_mapped = False
+    frag_len = 0
+    if code == 0:
+        stat.unique_pairs += 1
+        r1 = (int(fin["r1_mm"][i]), int(fin["r1_pos"][i]), sc[fin["r1_strand"][i]])
+        r2 = (int(fin["r2_mm"][i]), int(fin["r2_pos"][i]), sc[fin["r2_strand"][i]])
+        frag_len = emit_paired.best_paired_mr(
+            genome, r1, r2, frag_range, name, seq1, qual1, seq2, qual2,
+            sam, fouts["out"],
+        )
+        stat.frag_len_count[frag_len] += 1
+        is_paired_mapped = sam
+    else:
+        if code == 1:
+            stat.ambiguous_pairs += 1
+        else:
+            stat.unmapped_pairs += 1
+        stat.mate1.update(bm1.times)
+        stat.mate2.update(bm2.times)
+        if not sam:
+            emit.single_mr(bm1, name, seq1, qual1, genome, False,
+                           fouts["out"], fouts["amb1"], fouts["unm1"])
+            emit.single_mr(bm2, name, seq2, qual2, genome, True,
+                           fouts["out"], fouts["amb2"], fouts["unm2"])
+    if sam:
+        flag1 = emit_paired.sam_flag(
+            True, is_paired_mapped, bm1.times == 0, bm2.times == 0,
+            bm1.strand == "-", bm2.strand == "-", True, False, bm1.times >= 2,
+        )
+        flag2 = emit_paired.sam_flag(
+            True, is_paired_mapped, bm2.times == 0, bm1.times == 0,
+            bm2.strand == "-", bm1.strand == "-", False, True, bm2.times >= 2,
+        )
+        emit_paired.paired_sam(
+            bm1, bm2, genome, name, seq1, qual1, seq2, qual2, frag_len,
+            flag1, flag2, fouts["ambiguous"], fouts["unmapped"],
+            fouts["ambiguous"], fouts["unmapped"], fouts["out"],
+        )
+
+
 def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                        output_file: str, batch_size: int = 10_000_000,
                        max_mismatches: int = 6, b: int = 5000, adaptor: str = "",
@@ -170,11 +223,20 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
     if sam:
         fout.write(emit.sam_head(genome_meta))
 
+    from walt_tpu import native
+
+    use_native = (
+        native.get_lib() is not None and hasattr(backend, "map_strand_slabs")
+    )
+
     t0 = time.process_time()
     lines = [FgetsLines(reads_file_1), FgetsLines(reads_file_2)]
     while True:
         batches = []
         ranked = [None, None]
+        slab_streams = []  # native path: 4 stream dicts (m1+, m1-, m2+, m2-)
+        fb_any = None
+        lens_by_mate = []
         for pi in range(2):
             ag_wildcard = pi == 1
             mate_stat = stat.mate1 if pi == 0 else stat.mate2
@@ -183,23 +245,39 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
             if len(batch) == 0:
                 break
             codes, lens = batch.packed()
+            lens_by_mate.append(lens)
             streams = []
             for (g, ht), strand in zip(tables[pi], strands):
-                per_read = backend.map_strand(
-                    codes, lens, g, ht, ag_wildcard, b, max_mismatches, pattern
-                )
-                streams.append((strand, per_read))
                 # short reads counted once per strand pass (paired.cpp:112-115)
                 mate_stat.num_of_short += int(
                     np.sum(lens < pattern.min_read_len)
                 )
-            ranked[pi] = [
-                replay_paired_topk(
-                    [(strand, per_read[j]) for strand, per_read in streams],
-                    max_mismatches, top_k, pattern,
-                )
-                for j in range(len(batch))
-            ]
+                if use_native:
+                    cs, cp, cm, cc, fb = backend.map_strand_slabs(
+                        codes, lens, g, ht, ag_wildcard, b, max_mismatches,
+                        pattern,
+                    )
+                    slab_streams.append(dict(
+                        seed=np.ascontiguousarray(cs),
+                        pos=np.ascontiguousarray(cp),
+                        mm=np.ascontiguousarray(cm),
+                        cnt=np.ascontiguousarray(cc),
+                    ))
+                    fb_any = fb if fb_any is None else (fb_any | fb)
+                else:
+                    per_read = backend.map_strand(
+                        codes, lens, g, ht, ag_wildcard, b, max_mismatches,
+                        pattern,
+                    )
+                    streams.append((strand, per_read))
+            if not use_native:
+                ranked[pi] = [
+                    replay_paired_topk(
+                        [(strand, per_read[j]) for strand, per_read in streams],
+                        max_mismatches, top_k, pattern,
+                    )
+                    for j in range(len(batch))
+                ]
         n0 = len(batches[0])
         n1 = len(batches[1]) if len(batches) > 1 else 0
         if n0 != n1:
@@ -213,12 +291,50 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
         stat.total_read_pairs += n0
 
         b1, b2 = batches
-        for j in range(n0):
-            merge_pair(
-                genome_meta, ranked[0][j], ranked[1][j], b1.names[j],
-                b1.seqs[j], b1.quals[j], b2.seqs[j], b2.quals[j],
-                frag_range, max_mismatches, sam, stat, fouts, pattern,
+        if use_native:
+            fin = native.pe_finalize(
+                slab_streams, fb_any.astype(np.uint8),
+                lens_by_mate[0].astype(np.int32),
+                lens_by_mate[1].astype(np.int32),
+                genome_meta.start_index.astype(np.uint32),
+                top_k, frag_range, max_mismatches, pattern.exit1_seed,
             )
+            from walt_tpu.core import refmap
+
+            codes1, _ = b1.packed()
+            codes2, _ = b2.packed()
+            for j in range(n0):
+                if fb_any[j]:
+                    # exact host path for pairs whose streams were truncated
+                    rk = []
+                    for pi, codes_ in ((0, codes1), (1, codes2)):
+                        rk.append(replay_paired_topk(
+                            [
+                                (strand, refmap.enumerate_candidates(
+                                    codes_[j, : int(lens_by_mate[pi][j])],
+                                    g, ht, pi == 1, b, max_mismatches, pattern))
+                                for (g, ht), strand in zip(tables[pi], strands)
+                            ],
+                            max_mismatches, top_k, pattern,
+                        ))
+                    merge_pair(
+                        genome_meta, rk[0], rk[1], b1.names[j],
+                        b1.seqs[j], b1.quals[j], b2.seqs[j], b2.quals[j],
+                        frag_range, max_mismatches, sam, stat, fouts, pattern,
+                    )
+                else:
+                    _emit_pair_finalized(
+                        genome_meta, j, fin, b1.names[j], b1.seqs[j],
+                        b1.quals[j], b2.seqs[j], b2.quals[j], frag_range,
+                        max_mismatches, sam, stat, fouts,
+                    )
+        else:
+            for j in range(n0):
+                merge_pair(
+                    genome_meta, ranked[0][j], ranked[1][j], b1.names[j],
+                    b1.seqs[j], b1.quals[j], b2.seqs[j], b2.quals[j],
+                    frag_range, max_mismatches, sam, stat, fouts, pattern,
+                )
 
         if n0 < batch_size:
             break

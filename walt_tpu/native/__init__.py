@@ -1,0 +1,132 @@
+"""Native host finalization library: lazy g++ build + ctypes bindings.
+
+The shared object is compiled on first use into this package directory and
+rebuilt whenever the source is newer.  Everything degrades gracefully: if no
+compiler is available the callers fall back to the (identical, slower)
+Python implementations in walt_tpu.host.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "finalize.cpp")
+_SO = os.path.join(_DIR, "libwaltx_finalize.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        src_m = os.path.getmtime(_SRC)
+    except OSError:
+        return False
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_m:
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o",
+             _SO + ".tmp", _SRC],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded library, or None when unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.pe_finalize.argtypes = [
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(i8p), ctypes.POINTER(u32p),
+        ctypes.POINTER(i32p), ctypes.POINTER(i32p),
+        u8p, i32p, i32p,
+        u32p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        u8p, i32p,
+        i32p, u32p, u8p,
+        i32p, u32p, u8p,
+        u32p, i32p, u8p, i32p,
+    ]
+    lib.pe_finalize.restype = None
+    _lib = lib
+    return _lib
+
+
+def pe_finalize(streams, skip, len1, len2, chrom_start, top_k, frag_range,
+                max_mm, exit1_seed):
+    """Batched paired-end finalization (see finalize.cpp for the contract).
+
+    ``streams``: list of 4 dicts with C-contiguous arrays ``seed`` (n, C)
+    int8, ``pos`` (n, C) uint32, ``mm`` (n, C) int32, ``cnt`` (n,) int32 in
+    stream order (mate1 '+', mate1 '-', mate2 '+', mate2 '-').
+
+    Returns dict of per-pair result arrays, or None when the native library
+    is unavailable.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, C = streams[0]["seed"].shape
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+
+    seed_arr = (i8p * 4)(*[ptr(s["seed"], ctypes.c_int8) for s in streams])
+    pos_arr = (u32p * 4)(*[ptr(s["pos"], ctypes.c_uint32) for s in streams])
+    mm_arr = (i32p * 4)(*[ptr(s["mm"], ctypes.c_int32) for s in streams])
+    cnt_arr = (i32p * 4)(*[ptr(s["cnt"], ctypes.c_int32) for s in streams])
+
+    out = dict(
+        code=np.zeros(n, dtype=np.uint8),
+        frag=np.zeros(n, dtype=np.int32),
+        r1_mm=np.zeros(n, dtype=np.int32),
+        r1_pos=np.zeros(n, dtype=np.uint32),
+        r1_strand=np.zeros(n, dtype=np.uint8),
+        r2_mm=np.zeros(n, dtype=np.int32),
+        r2_pos=np.zeros(n, dtype=np.uint32),
+        r2_strand=np.zeros(n, dtype=np.uint8),
+        bm_pos=np.zeros(2 * n, dtype=np.uint32),
+        bm_times=np.zeros(2 * n, dtype=np.int32),
+        bm_strand=np.zeros(2 * n, dtype=np.uint8),
+        bm_mm=np.zeros(2 * n, dtype=np.int32),
+    )
+    lib.pe_finalize(
+        n, C, seed_arr, pos_arr, mm_arr, cnt_arr,
+        ptr(skip, ctypes.c_uint8), ptr(len1, ctypes.c_int32),
+        ptr(len2, ctypes.c_int32), ptr(chrom_start, ctypes.c_uint32),
+        len(chrom_start) - 1, top_k, frag_range, max_mm, exit1_seed,
+        ptr(out["code"], ctypes.c_uint8), ptr(out["frag"], ctypes.c_int32),
+        ptr(out["r1_mm"], ctypes.c_int32), ptr(out["r1_pos"], ctypes.c_uint32),
+        ptr(out["r1_strand"], ctypes.c_uint8),
+        ptr(out["r2_mm"], ctypes.c_int32), ptr(out["r2_pos"], ctypes.c_uint32),
+        ptr(out["r2_strand"], ctypes.c_uint8),
+        ptr(out["bm_pos"], ctypes.c_uint32), ptr(out["bm_times"], ctypes.c_int32),
+        ptr(out["bm_strand"], ctypes.c_uint8), ptr(out["bm_mm"], ctypes.c_int32),
+    )
+    return out

@@ -98,8 +98,10 @@ def map_single_end_device(preads, lens, b, max_mm, tables, *,
 
     ``tables``: tuple of two dicts (keys: pseq, counter, index, key_words,
     start_index, bucket_flagged), '+' table first (mapping.cpp:491-499 file
-    order).  Returns (pos u32, times i32, minus bool, mismatch i32,
-    fallback bool), each (B,).
+    order).  Returns ONE (B, 3) uint32 array -- [pos, times,
+    (mm << 2) | (minus << 1) | fallback] -- so a chunk's result costs a
+    single host fetch over the (high-latency) device tunnel; unpack with
+    :func:`unpack_se_result`.
     """
     pattern = get_pattern(pattern_name)
     slabs = []
@@ -115,4 +117,20 @@ def map_single_end_device(preads, lens, b, max_mm, tables, *,
         slabs.append((cs, cp, cm))
         fallback = fb if fallback is None else (fallback | fb)
     pos, times, minus, mm = se_fold(slabs, max_mm, pattern)
-    return pos, times, minus, mm, fallback
+    flags = (
+        (mm.astype(jnp.uint32) << 2)
+        | (minus.astype(jnp.uint32) << 1)
+        | fallback.astype(jnp.uint32)
+    )
+    return jnp.stack([pos, times.astype(jnp.uint32), flags], axis=1)
+
+
+def unpack_se_result(packed: "np.ndarray"):
+    """(B, 3) uint32 -> (pos u32, times i32, minus bool, mm i32, fb bool)."""
+    pos = packed[:, 0]
+    times = packed[:, 1].astype("int32")
+    flags = packed[:, 2]
+    minus = (flags & 2).astype(bool)
+    fb = (flags & 1).astype(bool)
+    mm = (flags >> 2).astype("int32")
+    return pos, times, minus, mm, fb
