@@ -64,10 +64,15 @@ def seed_keys(seq: np.ndarray, positions: np.ndarray, pattern: SeedPattern) -> n
     key = the first ``key_weight`` cared bases packed 2 bits each, first base
     most significant.
     """
-    keys = np.zeros(positions.shape[0], dtype=np.uint32)
+    n = positions.shape[0]
+    keys = np.zeros(n, dtype=np.uint32)
+    posbuf = np.empty(n, dtype=np.int64)
+    val = np.empty(n, dtype=np.uint8)
     for i in range(pattern.key_weight):
         keys <<= np.uint32(2)
-        keys |= seq[positions + pattern.cared[i]].astype(np.uint32)
+        np.add(positions, int(pattern.cared[i]), out=posbuf, casting="unsafe")
+        np.take(seq, posbuf, out=val)
+        keys |= val
     return keys
 
 
@@ -91,25 +96,43 @@ def _valid_positions(genome: Genome, pattern: SeedPattern) -> np.ndarray:
 
 
 def _sort_key_columns(genome: Genome, idx: np.ndarray, pattern: SeedPattern):
-    """Columns (one per cared position 12..end) used to order a bucket.
+    """Packed comparator columns used to order a bucket.
 
-    Encodes the comparator of reference.cpp:258-288: position value + 1,
-    with 0 for positions past the end of the entry's chromosome, so that
-    lexicographic order on these columns == the reference's sort order.
+    Encodes the comparator of reference.cpp:258-288: per cared position
+    12..end, the value ``base + 1`` with 0 for positions past the end of the
+    entry's chromosome -- a 5-valued alphabet, packed 3 bits per position
+    into uint64 words (16 positions each, first position most significant).
+    Lexicographic order on the packed columns == the reference's sort order,
+    at 1/16th the lexsort keys and temporaries of a per-position layout.
     """
+    n = idx.shape[0]
     chrom_id = genome.chrom_id_of(idx)
-    chrom_end = genome.start_index[chrom_id + 1].astype(np.int64)
-    remain = chrom_end - idx.astype(np.int64)  # bases left in the chromosome
+    idx64 = idx.astype(np.int64)
+    remain = genome.start_index.astype(np.int64)[chrom_id + 1] - idx64
     glen = genome.length_of_genome
+    # genome padded so gathers never go out of range; pad value irrelevant
+    # (masked to the 0 sentinel below)
+    pad = int(pattern.cared[-1]) + 2
+    seq_ext = np.concatenate([genome.seq, np.zeros(pad, dtype=np.uint8)])
+
     cols = []
-    for p in range(pattern.key_weight, pattern.cared_size):
-        off = int(pattern.cared[p])
-        pos = idx.astype(np.int64) + off
-        val = np.where(pos < glen, genome.seq[np.minimum(pos, glen - 1)], 0).astype(
-            np.uint8
-        )
-        col = np.where(off < remain, val + 1, 0).astype(np.uint8)
-        cols.append(col)
+    posbuf = np.empty(n, dtype=np.int64)
+    val = np.empty(n, dtype=np.uint8)
+    for a in range(pattern.key_weight, pattern.cared_size, 16):
+        z = min(a + 16, pattern.cared_size)
+        acc = np.zeros(n, dtype=np.uint64)
+        for p in range(a, z):
+            off = int(pattern.cared[p])
+            np.add(idx64, off, out=posbuf)
+            np.take(seq_ext, posbuf, out=val)
+            # comparator value: base+1, or 0 past the chromosome end
+            np.add(val, 1, out=val)
+            val[off >= remain] = 0
+            acc <<= np.uint64(3)
+            acc |= val
+        if z - a < 16:
+            acc <<= np.uint64(3 * (16 - (z - a)))
+        cols.append(acc)
     return cols
 
 
@@ -130,12 +153,15 @@ def sort_buckets_numpy(genome: Genome, bucket_of: np.ndarray, idx: np.ndarray,
 
 def sort_buckets(genome: Genome, bucket_of: np.ndarray, idx: np.ndarray,
                  pattern: SeedPattern) -> np.ndarray:
-    """Within-bucket sort; uses the native library when available."""
-    try:
-        from walt_tpu.host.native import native_sort_buckets
-    except Exception:
-        return sort_buckets_numpy(genome, bucket_of, idx, pattern)
-    return native_sort_buckets(genome, bucket_of, idx, pattern)
+    """Within-bucket sort (stable lexsort on packed comparator columns).
+
+    Known deviation: the reference uses std::sort (reference.cpp:290-300),
+    whose ordering of FULL ties (entries equal on every cared position) is
+    introsort-schedule dependent; a stable sort keeps them position
+    ascending instead.  Only the choice of reported position for ambiguous
+    reads can observe the difference.
+    """
+    return sort_buckets_numpy(genome, bucket_of, idx, pattern)
 
 
 def build_table(genome: Genome, conversion: str, pattern: SeedPattern | None = None,

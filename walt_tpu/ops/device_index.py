@@ -66,6 +66,8 @@ def pack_key_words(seq_padded: np.ndarray, entries: np.ndarray,
     words = np.zeros((n, N_KEY_WORDS), dtype=np.uint32)
     kw = pattern.key_weight
     e64 = entries.astype(np.int64)
+    posbuf = np.empty(n, dtype=np.int64)
+    val = np.empty(n, dtype=np.uint8)
     for w in range(N_KEY_WORDS):
         acc = np.zeros(n, dtype=np.uint32)
         for i in range(POS_PER_WORD):
@@ -74,11 +76,13 @@ def pack_key_words(seq_padded: np.ndarray, entries: np.ndarray,
                 acc <<= np.uint32(2)
                 continue
             off = int(pattern.cared[p])
+            acc <<= np.uint32(2)
+            np.add(e64, off, out=posbuf)
+            np.take(seq_padded, posbuf, out=val)
             # & 3: past-the-genome pad bytes only occur in flagged buckets
             # (whose keys are never used); keep them from polluting the word.
-            acc = (acc << np.uint32(2)) | (
-                seq_padded[e64 + off].astype(np.uint32) & np.uint32(3)
-            )
+            np.bitwise_and(val, 3, out=val)
+            acc |= val
         words[:, w] = acc
     return words
 

@@ -27,15 +27,20 @@ def words_per_read(length: int) -> int:
 
 
 def pack_codes_np(codes: np.ndarray) -> np.ndarray:
-    """(…, L) uint8 codes (values 0..3; anything else treated as 0) ->
-    (…, ceil(L/16)) uint32, MSB-first."""
+    """(…, L) uint8 codes (low 2 bits used) -> (…, ceil(L/16)) uint32,
+    MSB-first.  Lane-strided accumulation: peak temporary is one lane
+    (L/16 words), not a (…, W, 16) expansion -- this packs whole genomes."""
     L = codes.shape[-1]
     W = words_per_read(L)
-    padded = np.zeros(codes.shape[:-1] + (W * 16,), dtype=np.uint32)
-    padded[..., :L] = codes & 3
-    lanes = padded.reshape(codes.shape[:-1] + (W, 16))
-    shifts = np.uint32(30) - np.uint32(2) * np.arange(16, dtype=np.uint32)
-    return (lanes << shifts).sum(axis=-1, dtype=np.uint32)
+    out = np.zeros(codes.shape[:-1] + (W,), dtype=np.uint32)
+    for i in range(16):
+        lane = codes[..., i::16]
+        if lane.shape[-1] == 0:
+            break
+        lane = (lane & 3).astype(np.uint32)
+        lane <<= np.uint32(30 - 2 * i)
+        out[..., : lane.shape[-1]] |= lane
+    return out
 
 
 def pack_genome_np(seq_codes: np.ndarray, tail_words: int = 16) -> np.ndarray:
