@@ -21,6 +21,50 @@ def _split_filenames(csv: str):
     return [s for s in csv.replace(",", " ").split() if s]
 
 
+#: options that take no value (for config-file boolean lines)
+_FLAG_NAMES = frozenset(
+    ("a", "ambiguous", "u", "unmapped", "A", "ag-wild", "sam", "v", "verbose")
+)
+
+
+def _apply_config_file(argv):
+    """``-config-file FILE`` support (OptionParser.cpp:279-344).
+
+    The file holds ``name=value`` lines ('#' comments skipped); names are
+    option names without dashes.  Command-line arguments override the file
+    (the reference parses the config first, then lets argv overwrite).
+    """
+    argv = list(argv)
+    for i, a in enumerate(argv):
+        if a in ("-config-file", "--config-file"):
+            if i + 1 >= len(argv):
+                raise SystemExit("-config-file requires config filename")
+            path = argv[i + 1]
+            try:
+                lines = open(path).read().splitlines()
+            except OSError:
+                raise SystemExit(f"cannot open config file: {path}")
+            injected = []
+            for ln, line in enumerate(lines, 1):
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                if "=" not in line:
+                    raise SystemExit(
+                        f"Line {ln} malformed in config file {path}"
+                    )
+                name, _, val = line.partition("=")
+                name, val = name.strip(), val.strip()
+                if name in _FLAG_NAMES:
+                    if val.lower() in ("true", "1", "yes", "on"):
+                        injected.append(f"-{name}")
+                else:
+                    injected += [f"-{name}", val]
+            # injected first: later (command-line) occurrences win
+            return injected + argv[:i] + argv[i + 2:]
+    return argv
+
+
 def _validate_index(index: str) -> None:
     """walt.cpp:67-85."""
     if not os.path.isfile(index):
@@ -76,6 +120,7 @@ def build_map_parser() -> argparse.ArgumentParser:
 
 
 def main_map(argv=None) -> int:
+    argv = _apply_config_file(sys.argv[1:] if argv is None else argv)
     args = build_map_parser().parse_args(argv)
     _validate_index(args.index)
 
