@@ -5,11 +5,13 @@ reference layout documented in SURVEY.md) designed for TPU hardware:
 
 - the genome hash index lives on device as packed integer arrays,
 - seeding / sorted-bucket refinement / candidate verification run as batched
-  fixed-shape JAX (XLA) programs with Pallas kernels on the hot path,
+  fixed-shape JAX (XLA) programs (2-bit packed words, masked popcounts,
+  slab-tiered fixed shapes),
 - reads are mapped data-parallel across a ``jax.sharding.Mesh`` of chips,
-- the sequential best-hit / top-k semantics of the reference are replayed on
-  host (C++ native library with a NumPy fallback) to give bit-identical
-  MR/SAM/.mapstats output.
+  with an optional bucket-range-sharded table (walt_tpu.parallel),
+- single-end best-hit folding happens on device; the paired-end top-k heap
+  and pair join are finalized by a native C++ library (walt_tpu.native,
+  Python fallback) so output is bit-identical to the reference.
 
 Reference behavior citations use ``path:line`` into the upstream repo, e.g.
 ``src/walt/mapping.cpp:224``.

@@ -151,16 +151,32 @@ def sort_buckets_numpy(genome: Genome, bucket_of: np.ndarray, idx: np.ndarray,
     return idx[order]
 
 
-def sort_buckets(genome: Genome, bucket_of: np.ndarray, idx: np.ndarray,
-                 pattern: SeedPattern) -> np.ndarray:
-    """Within-bucket sort (stable lexsort on packed comparator columns).
+def sort_buckets(genome: Genome, counter: np.ndarray, bucket_of: np.ndarray,
+                 idx: np.ndarray, pattern: SeedPattern) -> np.ndarray:
+    """Within-bucket sort, preferring the native std::sort path.
 
-    Known deviation: the reference uses std::sort (reference.cpp:290-300),
-    whose ordering of FULL ties (entries equal on every cared position) is
-    introsort-schedule dependent; a stable sort keeps them position
-    ascending instead.  Only the choice of reported position for ambiguous
-    reads can observe the difference.
+    The native path (walt_tpu.native.sort_buckets) uses std::sort with the
+    reference's comparator on the reference's pre-sort order, so even the
+    ordering of FULL ties (entries equal on every cared position) is
+    introsort-identical to the reference binary.  The NumPy fallback is a
+    stable lexsort on packed comparator columns: same order except full
+    ties, which stay position-ascending (observable only through the
+    reported position of ambiguous reads).
     """
+    try:
+        from walt_tpu import native
+
+        out = np.ascontiguousarray(idx)
+        if native.sort_buckets(
+            np.ascontiguousarray(genome.seq),
+            np.ascontiguousarray(genome.start_index.astype(np.uint32)),
+            np.ascontiguousarray(counter), out,
+            np.ascontiguousarray(pattern.cared.astype(np.uint32)),
+            int(pattern.key_weight), int(pattern.cared_size),
+        ):
+            return out
+    except Exception:
+        pass
     return sort_buckets_numpy(genome, bucket_of, idx, pattern)
 
 
@@ -201,7 +217,7 @@ def build_table(genome: Genome, conversion: str, pattern: SeedPattern | None = N
     # identical to the reference's counting-sort fill (reference.cpp:231-256).
     order = np.argsort(keys, kind="stable")
     idx = pos[order]
-    idx = sort_buckets(g, keys[order], idx, pattern)
+    idx = sort_buckets(g, counter, keys[order], idx, pattern)
     return g, HashTable(counter=counter, index=idx)
 
 

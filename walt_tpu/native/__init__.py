@@ -68,8 +68,35 @@ def get_lib():
         u32p, i32p, u8p, i32p,
     ]
     lib.pe_finalize.restype = None
+    lib.sort_buckets.argtypes = [
+        u8p, u32p, ctypes.c_int32, u32p, ctypes.c_int64, u32p, u32p,
+        ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.sort_buckets.restype = None
     _lib = lib
     return _lib
+
+
+def sort_buckets(seq, chrom_start, counter, index, cared, key_weight,
+                 cared_size):
+    """In-place within-bucket std::sort with the reference comparator
+    (reference.cpp:258-300); chromosome-end guards run before any character
+    access, so no padding is needed.  Returns False when the library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    lib.sort_buckets(
+        ptr(seq, ctypes.c_uint8), ptr(chrom_start, ctypes.c_uint32),
+        len(chrom_start) - 1, ptr(counter, ctypes.c_uint32),
+        len(counter) - 1, ptr(index, ctypes.c_uint32),
+        ptr(cared, ctypes.c_uint32), key_weight, cared_size,
+    )
+    return True
 
 
 def pe_finalize(streams, skip, len1, len2, chrom_start, top_k, frag_range,

@@ -15,6 +15,7 @@
 // (unique / ambiguous / unmapped), the winning candidate pair, fragment
 // length, and per-mate fallback BestMatch states, and emits MR/SAM lines.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -297,6 +298,39 @@ void pe_finalize(
                   &bm_times[2 * i + 1], &bm_strand[2 * i + 1],
                   &bm_mm[2 * i + 1]);
     }
+  }
+}
+
+// Within-bucket index sort with the reference's comparator semantics
+// (reference.cpp:258-300): compare entries at cared positions
+// [key_weight, cared_size) of the converted genome text, positions past the
+// entry's chromosome end sorting below every base.  Using std::sort (as the
+// reference does) makes the ordering of full ties introsort-identical to
+// the reference binary built with the same libstdc++.
+void sort_buckets(const uint8_t* seq, const uint32_t* chrom_start,
+                  int32_t n_chroms, const uint32_t* counter,
+                  int64_t n_buckets, uint32_t* index,
+                  const uint32_t* cared, int32_t key_weight,
+                  int32_t cared_size) {
+  ChromMap g{chrom_start, n_chroms};
+  auto cmp = [&](uint32_t p1, uint32_t p2) {
+    const uint8_t* s1 = seq + p1;
+    const uint8_t* s2 = seq + p2;
+    uint32_t l1 = chrom_start[g.chrom_of(p1) + 1] - p1;
+    uint32_t l2 = chrom_start[g.chrom_of(p2) + 1] - p2;
+    for (int32_t j = key_weight; j < cared_size; ++j) {
+      uint32_t off = cared[j];
+      if (off >= l2) return false;
+      if (off >= l1) return true;
+      if (s1[off] < s2[off]) return true;
+      if (s1[off] > s2[off]) return false;
+    }
+    return false;
+  };
+  for (int64_t i = 0; i < n_buckets; ++i) {
+    uint32_t lo = counter[i], hi = counter[i + 1];
+    if (hi - lo <= 1) continue;
+    std::sort(index + lo, index + hi, cmp);
   }
 }
 

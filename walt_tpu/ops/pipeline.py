@@ -56,11 +56,12 @@ VERIFY_SLAB = 64
 CAND_SLAB = 32
 
 
-def _lex_ge(e0, e1, e2, r0, r1, r2):
-    """Lexicographic (entry >= read) on 3 masked words."""
-    return (e0 > r0) | (
-        (e0 == r0) & ((e1 > r1) | ((e1 == r1) & (e2 >= r2)))
-    )
+def _lex_ge(es, rs):
+    """Lexicographic (entry >= read) on N masked word pairs."""
+    ge = es[-1] >= rs[-1]
+    for e, r in zip(reversed(es[:-1]), reversed(rs[:-1])):
+        ge = (e > r) | ((e == r) & ge)
+    return ge
 
 
 @functools.lru_cache(maxsize=None)
@@ -163,8 +164,14 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         flagged = in_range & jnp.take(bucket_flagged, lidx)
 
     # --- read prefix key words (cared[kw..kw+47] per shift) + masks ---
+    # words actually probed: reads fitting W packed words cannot have a
+    # seed_len past seed_len_for_len(W*16), so deeper key words are always
+    # fully masked -- drop their probe gathers statically (a third of probe
+    # HBM traffic for <=133bp batches under pattern 3)
+    max_seed_len = min(int(pattern.seed_len_for_len(Lmax)), kw + 48)
+    npw = max(1, min(3, -(-(max_seed_len - kw) // 16)))
     rwords = []
-    for w in range(3):
+    for w in range(npw):
         a, z = kw + w * 16, min(kw + w * 16 + 16, n_cared)
         if a >= z:
             rwords.append(jnp.zeros((B, S), dtype=jnp.uint32))
@@ -174,23 +181,21 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         rwords.append(word)  # (B, S)
     # number of compared positions per word, from per-read seed_len
     masks = []
-    for w in range(3):
+    for w in range(npw):
         nbits = jnp.clip(seed_len[:, None] - kw - 16 * w, 0, 16) * 2  # (B,1)
         shift = jnp.clip(32 - nbits, 0, 31).astype(jnp.uint32)
         m = jnp.where(
             nbits > 0, jnp.uint32(0xFFFFFFFF) << shift, jnp.uint32(0)
         )
         masks.append(jnp.broadcast_to(m, (B, S)))
-    r0, r1, r2 = (rw & m for rw, m in zip(rwords, masks))
+    rws = [rw & m for rw, m in zip(rwords, masks)]
 
-    kw0, kw1, kw2 = (key_words[:, w] for w in range(3))
+    kws = [key_words[:, w] for w in range(npw)]
 
     def probe(mid):
         midc = jnp.clip(mid, 0, n_entries - 1)
-        e0 = jnp.take(kw0, midc) & masks[0]  # (B, S)
-        e1 = jnp.take(kw1, midc) & masks[1]
-        e2 = jnp.take(kw2, midc) & masks[2]
-        return _lex_ge(e0, e1, e2, r0, r1, r2)
+        es = [jnp.take(kw_, midc) & m for kw_, m in zip(kws, masks)]
+        return _lex_ge(es, rws)
 
     def body(_, lr):
         l, r = lr
