@@ -23,7 +23,8 @@ def _split_filenames(csv: str):
 
 #: options that take no value (for config-file boolean lines)
 _FLAG_NAMES = frozenset(
-    ("a", "ambiguous", "u", "unmapped", "A", "ag-wild", "sam", "v", "verbose")
+    ("a", "ambiguous", "u", "unmapped", "A", "ag-wild", "P", "pbat", "sam",
+     "v", "verbose")
 )
 
 
@@ -101,6 +102,10 @@ def build_map_parser() -> argparse.ArgumentParser:
       help="clip the specified adaptor")
     a("-A", "-ag-wild", "--ag-wild", dest="ag_wildcard", action="store_true",
       help="map using A/G bisulfite wildcards (single-end)")
+    a("-P", "-pbat", "--pbat", dest="pbat", action="store_true",
+      help="reads are PBAT (post-bisulfite adaptor tagging): mate "
+           "conversion roles swap (README.md:100-104 extension; the "
+           "reference documents but does not implement -P)")
     a("-b", "-bucket", "--bucket", dest="bucket", type=int, default=5000,
       help="maximum candidates for a seed")
     a("-k", "-topk", "--topk", dest="top_k", type=int, default=50,
@@ -161,7 +166,7 @@ def main_map(argv=None) -> int:
         process_single_end(
             args.index, f, outputs[oi], batch_size=args.batch,
             max_mismatches=args.mismatch, b=args.bucket, adaptor=args.adaptor,
-            ag_wildcard=args.ag_wildcard, ambiguous=args.ambiguous,
+            ag_wildcard=args.ag_wildcard or args.pbat, ambiguous=args.ambiguous,
             unmapped=args.unmapped, sam=args.sam, backend=backend,
             pattern_name=args.seed_pattern, verbose=args.verbose,
         )
@@ -176,7 +181,7 @@ def main_map(argv=None) -> int:
             top_k=args.top_k, frag_range=args.fraglen,
             ambiguous=args.ambiguous, unmapped=args.unmapped, sam=args.sam,
             backend=backend, pattern_name=args.seed_pattern,
-            verbose=args.verbose,
+            verbose=args.verbose, pbat=args.pbat,
         )
         oi += 1
     return 0

@@ -36,7 +36,8 @@ def extract_adaptors(adaptor: str):
 
 
 def merge_pair(genome, ranked1, ranked2, name, seq1, qual1, seq2, qual2,
-               frag_range, max_mismatches, sam, stat, fouts, pattern):
+               frag_range, max_mismatches, sam, stat, fouts, pattern,
+               pbat=False):
     """MergePairedEndResults (paired.cpp:438-570).
 
     ranked1/ranked2: drain-order candidate lists (mm, pos, strand).
@@ -103,11 +104,11 @@ def merge_pair(genome, ranked1, ranked2, name, seq1, qual1, seq2, qual2,
         stat.mate2.update(bm2.times)
         if not sam:
             emit.single_mr(
-                bm1, name, seq1, qual1, genome, False,
+                bm1, name, seq1, qual1, genome, pbat,
                 fouts["out"], fouts["amb1"], fouts["unm1"],
             )
             emit.single_mr(
-                bm2, name, seq2, qual2, genome, True,
+                bm2, name, seq2, qual2, genome, not pbat,
                 fouts["out"], fouts["amb2"], fouts["unm2"],
             )
     if sam:
@@ -127,7 +128,8 @@ def merge_pair(genome, ranked1, ranked2, name, seq1, qual1, seq2, qual2,
 
 
 def _emit_pair_finalized(genome, i, fin, name, seq1, qual1, seq2, qual2,
-                         frag_range, max_mismatches, sam, stat, fouts):
+                         frag_range, max_mismatches, sam, stat, fouts,
+                         pbat=False):
     """Emission for one pair from the native finalizer's arrays.
 
     Byte-identical to :func:`merge_pair` fed the same candidate streams; the
@@ -159,9 +161,9 @@ def _emit_pair_finalized(genome, i, fin, name, seq1, qual1, seq2, qual2,
         stat.mate1.update(bm1.times)
         stat.mate2.update(bm2.times)
         if not sam:
-            emit.single_mr(bm1, name, seq1, qual1, genome, False,
+            emit.single_mr(bm1, name, seq1, qual1, genome, pbat,
                            fouts["out"], fouts["amb1"], fouts["unm1"])
-            emit.single_mr(bm2, name, seq2, qual2, genome, True,
+            emit.single_mr(bm2, name, seq2, qual2, genome, not pbat,
                            fouts["out"], fouts["amb2"], fouts["unm2"])
     if sam:
         flag1 = emit_paired.sam_flag(
@@ -185,7 +187,11 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                        top_k: int = 50, frag_range: int = 1000,
                        ambiguous: bool = False, unmapped: bool = False,
                        sam: bool = False, backend=None, pattern_name: str = "3",
-                       verbose: bool = False) -> emit.StatPairedReads:
+                       verbose: bool = False,
+                       pbat: bool = False) -> emit.StatPairedReads:
+    """``pbat``: PBAT libraries swap the mates' conversion roles (mate 1
+    maps G->A against the GA tables, mate 2 C->T) -- an extension; the
+    reference documents -P (README.md:100-104) but does not implement it."""
     pattern = get_pattern(pattern_name)
     if backend is None:
         from walt_tpu.core.backends import get_backend
@@ -194,6 +200,8 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
 
     genome_meta, _ = io_walt.read_head(index_file)
     table_names = [("_CT00", "_CT01"), ("_GA10", "_GA11")]
+    if pbat:
+        table_names.reverse()
     tables = [
         [io_walt.read_table_cached(index_file + s, genome_meta) for s in pair]
         for pair in table_names
@@ -238,7 +246,7 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
         fb_any = None
         lens_by_mate = []
         for pi in range(2):
-            ag_wildcard = pi == 1
+            ag_wildcard = (pi == 1) != pbat
             mate_stat = stat.mate1 if pi == 0 else stat.mate2
             batch = load_batch(lines[pi], batch_size, adaptors[pi].encode())
             batches.append(batch)
@@ -312,7 +320,8 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                             [
                                 (strand, refmap.enumerate_candidates(
                                     codes_[j, : int(lens_by_mate[pi][j])],
-                                    g, ht, pi == 1, b, max_mismatches, pattern))
+                                    g, ht, (pi == 1) != pbat, b,
+                                    max_mismatches, pattern))
                                 for (g, ht), strand in zip(tables[pi], strands)
                             ],
                             max_mismatches, top_k, pattern,
@@ -321,12 +330,13 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                         genome_meta, rk[0], rk[1], b1.names[j],
                         b1.seqs[j], b1.quals[j], b2.seqs[j], b2.quals[j],
                         frag_range, max_mismatches, sam, stat, fouts, pattern,
+                        pbat=pbat,
                     )
                 else:
                     _emit_pair_finalized(
                         genome_meta, j, fin, b1.names[j], b1.seqs[j],
                         b1.quals[j], b2.seqs[j], b2.quals[j], frag_range,
-                        max_mismatches, sam, stat, fouts,
+                        max_mismatches, sam, stat, fouts, pbat=pbat,
                     )
         else:
             for j in range(n0):
@@ -334,6 +344,7 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                     genome_meta, ranked[0][j], ranked[1][j], b1.names[j],
                     b1.seqs[j], b1.quals[j], b2.seqs[j], b2.quals[j],
                     frag_range, max_mismatches, sam, stat, fouts, pattern,
+                    pbat=pbat,
                 )
 
         if n0 < batch_size:
