@@ -121,6 +121,9 @@ def build_map_parser() -> argparse.ArgumentParser:
       help="candidate enumeration backend (jax=TPU, numpy=host oracle)")
     a("--seed-pattern", default="3", choices=("3", "5", "7"),
       help="spaced seed pattern (reference compile-time -D SEEDPATTERN*)")
+    a("--resume", dest="resume", action="store_true",
+      help="checkpoint after every batch and continue an interrupted run "
+           "from its last completed batch (walt_tpu.host.resume)")
     return p
 
 
@@ -150,10 +153,22 @@ def main_map(argv=None) -> int:
     if not (2 <= args.top_k <= 300):
         raise SystemExit("paired-end candidates must be in [2, 300]")
 
-    # clear output files so later appends make sense (walt.cpp:229-233)
-    for out in outputs:
-        open(out, "w").close()
-        open(out + ".mapstats", "w").close()
+    # clear output files so later appends make sense (walt.cpp:229-233);
+    # under --resume the drivers restore/truncate from their checkpoints
+    shared_output = len(set(outputs)) != len(outputs)
+    if not args.resume:
+        for out in outputs:
+            open(out, "w").close()
+            open(out + ".mapstats", "w").close()
+    elif shared_output:
+        # several runs append to one output: truncate only a genuinely
+        # fresh output (no run checkpoint exists yet)
+        import glob
+
+        for out in set(outputs):
+            if not glob.glob(glob.escape(out) + ".waltx_ckpt*"):
+                open(out, "w").close()
+                open(out + ".mapstats", "w").close()
 
     from walt_tpu.core.backends import get_backend
 
@@ -162,6 +177,9 @@ def main_map(argv=None) -> int:
     oi = 0
     from walt_tpu.core.single_end import process_single_end
 
+    def _tag(i):
+        return f".run{i}" if (args.resume and shared_output) else ""
+
     for f in se_files:
         process_single_end(
             args.index, f, outputs[oi], batch_size=args.batch,
@@ -169,6 +187,7 @@ def main_map(argv=None) -> int:
             ag_wildcard=args.ag_wildcard or args.pbat, ambiguous=args.ambiguous,
             unmapped=args.unmapped, sam=args.sam, backend=backend,
             pattern_name=args.seed_pattern, verbose=args.verbose,
+            resume=args.resume, ckpt_tag=_tag(oi),
         )
         oi += 1
 
@@ -182,6 +201,7 @@ def main_map(argv=None) -> int:
             ambiguous=args.ambiguous, unmapped=args.unmapped, sam=args.sam,
             backend=backend, pattern_name=args.seed_pattern,
             verbose=args.verbose, pbat=args.pbat,
+            resume=args.resume, ckpt_tag=_tag(oi),
         )
         oi += 1
     return 0

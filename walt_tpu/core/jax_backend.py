@@ -74,18 +74,22 @@ class JaxBackend:
                       pattern: SeedPattern):
         key = (id(genome), id(table), pattern.name)
         if key not in self._tables:
+            from walt_tpu.ops.device_index import build_key_words_device
+
             dt = build_device_table(genome, table, pattern)
-            self._tables[key] = (
-                dt,
-                dict(
-                    pseq=jnp.asarray(dt.pseq),
-                    counter=jnp.asarray(dt.counter),
-                    index=jnp.asarray(dt.index),
-                    key_words=jnp.asarray(dt.key_words),
-                    start_index=jnp.asarray(dt.start_index),
-                    bucket_flagged=jnp.asarray(dt.bucket_flagged),
-                ),
+            dev = dict(
+                pseq=jnp.asarray(dt.pseq),
+                counter=jnp.asarray(dt.counter),
+                index=jnp.asarray(dt.index),
+                start_index=jnp.asarray(dt.start_index),
+                bucket_flagged=jnp.asarray(dt.bucket_flagged),
             )
+            # packed lookup keys from the uploaded genome: saves the
+            # 48-gather host pass and a 12-bytes/entry transfer
+            dev["key_words"] = build_key_words_device(
+                dev["pseq"], dt.index, pattern
+            )
+            self._tables[key] = (dt, dev)
         return self._tables[key]
 
     def _chunks(self, codes: np.ndarray, lens: np.ndarray,

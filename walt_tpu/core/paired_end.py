@@ -22,6 +22,7 @@ from walt_tpu.host.replay import (
     get_best_match_for_single,
     replay_paired_topk,
 )
+from walt_tpu.host.resume import Checkpoint, skip_reads
 from walt_tpu.index import io_walt
 
 
@@ -187,8 +188,9 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                        top_k: int = 50, frag_range: int = 1000,
                        ambiguous: bool = False, unmapped: bool = False,
                        sam: bool = False, backend=None, pattern_name: str = "3",
-                       verbose: bool = False,
-                       pbat: bool = False) -> emit.StatPairedReads:
+                       verbose: bool = False, pbat: bool = False,
+                       resume: bool = False,
+                       ckpt_tag: str = "") -> emit.StatPairedReads:
     """``pbat``: PBAT libraries swap the mates' conversion roles (mate 1
     maps G->A against the GA tables, mate 2 C->T) -- an extension; the
     reference documents -P (README.md:100-104) but does not implement it."""
@@ -213,23 +215,45 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
     )
     adaptors = extract_adaptors(adaptor)
 
+    ckpt = (
+        Checkpoint(output_file, [reads_file_1, reads_file_2], ckpt_tag)
+        if resume else None
+    )
+    resuming = ckpt is not None and ckpt.load()
+    if resuming and ckpt.done:
+        if ckpt.stat_dict() is not None:
+            from walt_tpu.host.resume import _stat_from_dict
+
+            _stat_from_dict(stat, ckpt.stat_dict())
+        return stat
+
     fout = open(output_file, "a")
     fouts = {"out": fout, "ambiguous": ambiguous, "unmapped": unmapped}
+    files = {output_file: fout}
     for mate in (1, 2):
-        fouts[f"amb{mate}"] = (
-            open(f"{output_file}_{mate}_ambiguous", "w")
-            if ambiguous and not sam else None
-        )
-        fouts[f"unm{mate}"] = (
-            open(f"{output_file}_{mate}_unmapped", "w")
-            if unmapped and not sam else None
-        )
+        for kind, enabled in (("ambiguous", ambiguous), ("unmapped", unmapped)):
+            key = f"{kind[:3]}{mate}"
+            path = f"{output_file}_{mate}_{kind}"
+            f = open(path, "a" if resuming else "w") if (
+                enabled and not sam
+            ) else None
+            fouts[key] = f
+            if f is not None:
+                files[path] = f
 
     print("[MAPPING PAIRED-END READS FROM THE FOLLOWING TWO FILES]", file=sys.stderr)
     print(f"   {reads_file_1} (AND)\n   {reads_file_2}", file=sys.stderr)
     print(f"[OUTPUT MAPPING RESULTS TO {output_file}]", file=sys.stderr)
-    if sam:
-        fout.write(emit.sam_head(genome_meta))
+    if resuming:
+        ckpt.restore(stat, files)  # drops any torn batch
+    else:
+        if ckpt is not None and not ckpt_tag:
+            # fresh tagged runs share the output; the caller owns truncation
+            for f in files.values():
+                f.truncate(0)
+            open(output_file + ".mapstats", "w").close()
+        if sam:
+            fout.write(emit.sam_head(genome_meta))
 
     from walt_tpu import native
 
@@ -239,6 +263,11 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
 
     t0 = time.process_time()
     lines = [FgetsLines(reads_file_1), FgetsLines(reads_file_2)]
+    pairs_done = 0
+    if resuming and ckpt.reads_done:
+        for ln in lines:
+            skip_reads(ln, ckpt.reads_done)
+        pairs_done = ckpt.reads_done
     while True:
         batches = []
         ranked = [None, None]
@@ -347,6 +376,9 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                     pbat=pbat,
                 )
 
+        pairs_done += n0
+        if ckpt is not None:
+            ckpt.save(stat, files, pairs_done)
         if n0 < batch_size:
             break
     for ln in lines:
@@ -358,6 +390,8 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
 
     with open(output_file + ".mapstats", "a") as ms:
         ms.write(stat.tostring(pattern.min_read_len) + "\n")
+    if ckpt is not None:
+        ckpt.save(stat, {}, pairs_done, done=True)
     if verbose:
         print(f"mapping_time: {time.process_time() - t0}", file=sys.stderr)
     return stat

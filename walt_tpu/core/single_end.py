@@ -17,6 +17,7 @@ from walt_tpu.core import refmap
 from walt_tpu.host import emit
 from walt_tpu.host.fastq import FgetsLines, load_batch
 from walt_tpu.host.replay import BestMatch, replay_single
+from walt_tpu.host.resume import Checkpoint, skip_reads
 from walt_tpu.index import io_walt
 
 
@@ -25,7 +26,10 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
                        b: int = 5000, adaptor: str = "", ag_wildcard: bool = False,
                        ambiguous: bool = False, unmapped: bool = False,
                        sam: bool = False, backend=None, pattern_name: str = "3",
-                       verbose: bool = False) -> emit.StatSingleReads:
+                       verbose: bool = False, resume: bool = False,
+                       ckpt_tag: str = "") -> emit.StatSingleReads:
+    """``resume``: checkpoint after every batch and, when a matching sidecar
+    exists, continue from it instead of remapping (walt_tpu.host.resume)."""
     pattern = get_pattern(pattern_name)
     if backend is None:
         from walt_tpu.core.backends import get_backend
@@ -37,22 +41,51 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
     tables = [io_walt.read_table_cached(index_file + s, genome_meta) for s in suffixes]
     strands = "+-"
 
+    ckpt = Checkpoint(output_file, [reads_file], ckpt_tag) if resume else None
+    resuming = ckpt is not None and ckpt.load()
+    if resuming and ckpt.done:
+        stat = emit.StatSingleReads()
+        if ckpt.stat_dict() is not None:
+            from walt_tpu.host.resume import _stat_from_dict
+
+            _stat_from_dict(stat, ckpt.stat_dict())
+        return stat
+
     stat = emit.StatSingleReads()
     fout = open(output_file, "a")
     famb = funm = None
     if ambiguous and not sam:
-        famb = open(output_file + "_ambiguous", "w")
+        famb = open(output_file + "_ambiguous", "a" if resuming else "w")
     if unmapped and not sam:
-        funm = open(output_file + "_unmapped", "w")
+        funm = open(output_file + "_unmapped", "a" if resuming else "w")
+    files = {output_file: fout}
+    if famb is not None:
+        files[output_file + "_ambiguous"] = famb
+    if funm is not None:
+        files[output_file + "_unmapped"] = funm
 
     if verbose:
         print(f"input_file: {reads_file}", file=sys.stderr)
         print(f"output_file: {output_file}", file=sys.stderr)
-    if sam:
-        fout.write(emit.sam_head(genome_meta))
+    if resuming:
+        ckpt.restore(stat, files)  # drops any torn batch
+    else:
+        if ckpt is not None and not ckpt_tag:
+            # --resume without a sidecar: a fresh run; clear stale outputs.
+            # A tagged run shares its output with earlier runs (one -o for
+            # several read files) -- the caller owns truncation then.
+            for f in files.values():
+                f.truncate(0)
+            open(output_file + ".mapstats", "w").close()
+        if sam:
+            fout.write(emit.sam_head(genome_meta))
 
     t0 = time.process_time()
     lines = FgetsLines(reads_file)
+    reads_done = 0
+    if resuming and ckpt.reads_done:
+        skip_reads(lines, ckpt.reads_done)
+        reads_done = ckpt.reads_done
     while True:
         batch = load_batch(lines, batch_size, adaptor.encode())
         n = len(batch)
@@ -90,6 +123,9 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
                 ag_wildcard, sam, ambiguous, unmapped, fout, famb, funm,
                 stat, pattern.min_read_len,
             )
+            reads_done += n
+            if ckpt is not None:
+                ckpt.save(stat, files, reads_done)
             if n < batch_size:
                 break
             continue
@@ -125,6 +161,9 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
                     genome_meta, ambiguous, unmapped, fout,
                 )
 
+        reads_done += n
+        if ckpt is not None:
+            ckpt.save(stat, files, reads_done)
         if n < batch_size:
             break
     lines.close()
@@ -135,6 +174,8 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
 
     with open(output_file + ".mapstats", "a") as ms:
         ms.write(stat.tostring(pattern.min_read_len) + "\n")
+    if ckpt is not None:
+        ckpt.save(stat, {}, reads_done, done=True)
     if verbose:
         print(f"mapping_time: {time.process_time() - t0}", file=sys.stderr)
     return stat

@@ -41,7 +41,10 @@ class DeviceTable:
     pseq: np.ndarray  # uint32 packed converted genome words (+ zero tail)
     counter: np.ndarray  # uint32 (4^12 + 1,)
     index: np.ndarray  # uint32 (n,)
-    key_words: np.ndarray  # uint32 (n, 3) packed cared[12..59]
+    key_words: np.ndarray | None  # uint32 (n, 3) packed cared[12..59];
+    # None when they are to be computed on device from pseq + index
+    # (build_key_words_device) -- they are 3x the index's bytes, so host
+    # construction + transfer dominates table prep at genome scale
     start_index: np.ndarray  # uint32 (n_chroms + 1,)
     bucket_flagged: np.ndarray  # bool (4^12,), host-fallback buckets
     max_bucket_bits: int  # static: iterations for the binary search
@@ -88,12 +91,16 @@ def pack_key_words(seq_padded: np.ndarray, entries: np.ndarray,
 
 
 def build_device_table(genome: Genome, table: HashTable,
-                       pattern: SeedPattern) -> DeviceTable:
-    """Prepare one table for the device pipeline (host-side, NumPy)."""
-    from walt_tpu.core.refmap import padded_seq
+                       pattern: SeedPattern,
+                       with_key_words: bool = False) -> DeviceTable:
+    """Prepare one table for the device pipeline (host-side, NumPy).
 
-    seq = padded_seq(genome, pattern)
-    key_words = pack_key_words(seq, table.index, pattern)
+    ``with_key_words``: build the packed lookup keys on host.  The default
+    leaves them to :func:`build_key_words_device` (key_words are 3x the
+    index's bytes; computing them from the already-uploaded packed genome
+    avoids both the 48-gather host pass and the transfer).
+    """
+    from walt_tpu.core.refmap import padded_seq
 
     # Entries whose deep cared positions run past their chromosome were
     # sorted with the boundary-aware comparator (reference.cpp:258-288), so
@@ -120,30 +127,33 @@ def build_device_table(genome: Genome, table: HashTable,
             np.searchsorted(table.counter, glob_short, side="right") - 1
         ] = True
     if short.size:
-        boundary = np.zeros(pattern.n_buckets, dtype=bool)
-        boundary[np.searchsorted(table.counter, short, side="right") - 1] = True
-        n = idx.shape[0]
-        if n > 1:
-            a, b = key_words[:-1], key_words[1:]
+        # monotonicity only matters inside buckets that contain a boundary
+        # entry -- a handful per chromosome end -- so key_words are built
+        # just for those buckets' entries
+        seq = padded_seq(genome, pattern)
+        bids = np.unique(
+            np.searchsorted(table.counter, short, side="right") - 1
+        )
+        for bid in bids:
+            lo, hi = int(table.counter[bid]), int(table.counter[bid + 1])
+            if hi - lo <= 1:
+                continue
+            kwds = pack_key_words(seq, table.index[lo:hi], pattern)
+            a, b = kwds[:-1], kwds[1:]
             desc = (
                 (a[:, 0] > b[:, 0])
                 | ((a[:, 0] == b[:, 0]) & (a[:, 1] > b[:, 1]))
                 | ((a[:, 0] == b[:, 0]) & (a[:, 1] == b[:, 1]) & (a[:, 2] > b[:, 2]))
             )
-            # ignore violations across bucket boundaries
-            pair_bucket = np.searchsorted(table.counter, np.arange(n - 1),
-                                          side="right") - 1
-            same = pair_bucket == (
-                np.searchsorted(table.counter, np.arange(1, n), side="right") - 1
-            )
-            bad = np.zeros(pattern.n_buckets, dtype=bool)
-            viol = np.flatnonzero(desc & same)
-            if viol.size:
-                bad[pair_bucket[viol]] = True
-            flagged |= boundary & bad
+            if desc.any():
+                flagged[bid] = True
 
     sizes = np.diff(table.counter.astype(np.int64))
     max_bucket = int(sizes.max()) if sizes.size else 1
+    key_words = None
+    if with_key_words:
+        key_words = pack_key_words(padded_seq(genome, pattern), table.index,
+                                   pattern)
     return DeviceTable(
         # tail must cover a full max-length window so the clip-mode slice
         # gather never shifts a near-end window's start (MAX_LINE_LENGTH
@@ -157,3 +167,56 @@ def build_device_table(genome: Genome, table: HashTable,
         max_bucket_bits=max(1, int(np.ceil(np.log2(max_bucket + 1)))),
         strand=genome.strand,
     )
+
+
+def build_key_words_device(pseq_dev, index_np: np.ndarray,
+                           pattern: SeedPattern, chunk: int = 1 << 22):
+    """(n, 3) uint32 packed lookup keys, computed on device.
+
+    Gathers a (chunk, n_win)-word window per entry from the packed converted
+    genome (zero tail past the genome end == the &3-masked pad of
+    :func:`pack_key_words`) and extracts cared positions [kw, kw+48) with
+    static shifts.  Returns a device array.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from walt_tpu.ops import packing
+
+    kw = pattern.key_weight
+    offs = [int(pattern.cared[p]) for p in
+            range(kw, min(pattern.cared_size, kw + POS_PER_WORD * N_KEY_WORDS))]
+    n_win = (max(offs) >> 4) + 2 if offs else 1
+
+    @functools.partial(jax.jit, static_argnames=())
+    def one_chunk(pseq, entries):
+        win = packing.window_words(pseq, entries, n_win - 1)  # (m, n_win-1)
+        words = []
+        for w in range(N_KEY_WORDS):
+            acc = jnp.zeros(entries.shape, dtype=jnp.uint32)
+            for i in range(POS_PER_WORD):
+                p = kw + w * POS_PER_WORD + i
+                acc = acc << jnp.uint32(2)
+                if p - kw < len(offs):
+                    off = offs[p - kw]
+                    acc = acc | (
+                        (win[:, off >> 4] >> jnp.uint32(30 - 2 * (off & 15))) & 3
+                    )
+            words.append(acc)
+        return jnp.stack(words, axis=1)  # (m, 3)
+
+    n = index_np.shape[0]
+    if n == 0:
+        return jnp.zeros((0, N_KEY_WORDS), dtype=jnp.uint32)
+    parts = []
+    for a in range(0, n, chunk):
+        z = min(a + chunk, n)
+        ent = np.zeros(chunk, dtype=np.int32)
+        ent[: z - a] = index_np[a:z]
+        parts.append((z - a, one_chunk(pseq_dev, jnp.asarray(ent))))
+    if len(parts) == 1:
+        m, arr = parts[0]
+        return arr[:m] if m != chunk else arr
+    return jnp.concatenate([arr[:m] for m, arr in parts], axis=0)

@@ -43,6 +43,11 @@ class ShardedTables:
 
 def shard_device_table(dt: DeviceTable, n_shards: int) -> ShardedTables:
     """Split one DeviceTable into ``n_shards`` bucket-range shards."""
+    if dt.key_words is None:
+        raise ValueError(
+            "shard_device_table needs host key_words; build the table with "
+            "build_device_table(..., with_key_words=True)"
+        )
     nb = dt.counter.shape[0] - 1
     if nb % n_shards:
         raise ValueError(f"{nb} buckets not divisible by {n_shards} shards")

@@ -27,16 +27,25 @@ def make_genome(n_bases: int, n_chroms: int = 2, seed: int = 0) -> Genome:
     return Genome(names=names, lengths=lengths, start_index=start, seq=seq)
 
 
-def write_genome_fasta(genome: Genome, path: str) -> None:
-    from walt_tpu.genome import decode_to_bytes
+def write_genome_fasta(genome: Genome, path: str, width: int = 70) -> None:
+    from walt_tpu.constants import CODE_TO_BASE
 
-    with open(path, "w") as f:
+    with open(path, "wb") as f:
         for i, name in enumerate(genome.names):
             a, b = int(genome.start_index[i]), int(genome.start_index[i + 1])
-            text = decode_to_bytes(genome.seq[a:b]).decode()
-            f.write(f">{name}\n")
-            for j in range(0, len(text), 70):
-                f.write(text[j : j + 70] + "\n")
+            text = CODE_TO_BASE[genome.seq[a:b]]
+            n = text.shape[0]
+            rows = -(-n // width)
+            # vectorized line wrapping: (rows, width+1) byte grid with the
+            # newline column prefilled
+            grid = np.full((rows, width + 1), ord("\n"), dtype=np.uint8)
+            pad = rows * width - n
+            grid[:, :width] = np.pad(text, (0, pad)).reshape(rows, width)
+            f.write(b">" + name.encode() + b"\n")
+            tail = grid.tobytes()
+            if pad:  # drop the padding of the final line, keep its newline
+                tail = tail[: -(pad + 1)] + b"\n"
+            f.write(tail)
 
 
 def sample_reads(genome: Genome, n: int, length: int, seed: int = 1,
@@ -82,5 +91,5 @@ def build_synthetic_table(n_bases: int = 200_000, pattern: SeedPattern | None = 
     pattern = pattern or get_pattern("3")
     genome = make_genome(n_bases, seed=seed)
     conv_genome, table = build_table(genome, "CT00", pattern, verbose=False)
-    dt = build_device_table(conv_genome, table, pattern)
+    dt = build_device_table(conv_genome, table, pattern, with_key_words=True)
     return genome, conv_genome, table, dt
