@@ -30,10 +30,25 @@ from walt_tpu.index.build import HashTable
 LOOKUP_PAD = np.uint8(200)
 
 
+_padded_cache = {}
+
+
 def padded_seq(genome: Genome, pattern: SeedPattern) -> np.ndarray:
-    """Genome codes padded so seed comparisons never index out of range."""
+    """Genome codes padded so seed comparisons never index out of range.
+
+    Cached per (genome, pad): the copy is ~1 GB at hg19 scale and the host
+    fallback path calls this once per read otherwise.
+    """
     pad = int(pattern.cared[-1]) + 2
-    return np.concatenate([genome.seq, np.full(pad, LOOKUP_PAD, dtype=np.uint8)])
+    key = (id(genome), pad)
+    got = _padded_cache.get(key)
+    if got is None:
+        # the genome object is kept in the value so its id cannot be reused
+        got = (genome, np.concatenate(
+            [genome.seq, np.full(pad, LOOKUP_PAD, dtype=np.uint8)]
+        ))
+        _padded_cache[key] = got
+    return got[1]
 
 
 def convert_read(codes: np.ndarray, ag_wildcard: bool) -> np.ndarray:
