@@ -53,6 +53,9 @@ def _prepare():
 
 
 def main() -> int:
+    from walt_tpu.hostmem import prefault
+
+    prefault()
     index, fastq = _prepare()
     out = os.path.join(CACHE, "out.mr")
 

@@ -20,6 +20,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from walt_tpu.hostmem import prefault
+
+# test workloads are small; a modest pre-fault still dodges the ~40us/page
+# demand-fault path on snapshot-restored VM hosts (see walt_tpu/hostmem.py)
+prefault(512 << 20)
+
 import shutil
 import subprocess
 

@@ -171,7 +171,9 @@ def main_map(argv=None) -> int:
                 open(out + ".mapstats", "w").close()
 
     from walt_tpu.core.backends import get_backend
+    from walt_tpu.hostmem import prefault
 
+    prefault()  # batch-populate the heap before the large-array pipeline
     backend = get_backend(args.backend)
 
     oi = 0
@@ -225,9 +227,11 @@ def main_index(argv=None) -> int:
 
     from walt_tpu.constants import get_pattern
     from walt_tpu.genome import identify_chromosomes
+    from walt_tpu.hostmem import prefault
     from walt_tpu.index.build import build_all_tables
     from walt_tpu.index.io_walt import write_index
 
+    prefault()
     files = identify_chromosomes(args.chrom)
     genome, tables = build_all_tables(
         files, get_pattern(args.seed_pattern), seed=args.rand_seed

@@ -153,7 +153,11 @@ class JaxBackend:
                 results.append((a, z, r))
             out = [np.empty(m, t) for t in
                    (np.uint32, np.int32, bool, np.int32, bool)]
-            for a, z, r in results:  # one fetch per chunk, after all dispatches
+            for _, _, r in results:
+                # D2H is latency-bound (~80 ms per fetch regardless of size);
+                # starting all copies first overlaps their round trips
+                r.copy_to_host_async()
+            for a, z, r in results:
                 vals = se_fold.unpack_se_result(np.asarray(r)[: z - a])
                 for o, x in zip(out, vals):
                     o[a:z] = x
@@ -234,6 +238,9 @@ class JaxBackend:
                 np.empty(m, dtype=np.int32),
                 np.empty(m, dtype=bool),
             )
+            for _, _, r in results:
+                for x in r:
+                    x.copy_to_host_async()
             for a, z, r in results:
                 for o, x in zip(out, r):
                     o[a:z] = np.asarray(x)[: z - a]
