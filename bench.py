@@ -1,6 +1,6 @@
 """Throughput benchmark: end-to-end single-end mapping, reads/s on one chip.
 
-Workload: synthetic 4 Mbp genome, 40k 100bp bisulfite reads, full SE pipeline
+Workload: synthetic 4 Mbp genome, 200k 100bp bisulfite reads, full SE pipeline
 (FASTQ parse -> device seed/refine/verify -> host best-hit replay -> MR
 emission) with the JAX backend, both strand tables, -m 6 defaults.
 
@@ -25,7 +25,10 @@ BASELINE_READS_PER_SEC = 50_000_000 / (0.71 * 3600)  # Table S6, SRR1532534 SE
 
 CACHE = "/tmp/waltx_bench"
 N_BASES = 4_000_000
-N_READS = 40_000
+# 200k reads: enough work that per-batch fixed costs (tunnel round trips,
+# compile-cache lookups) amortize and the number reflects steady-state
+# throughput rather than launch latency
+N_READS = 200_000
 READ_LEN = 100
 
 

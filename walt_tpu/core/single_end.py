@@ -86,23 +86,26 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
     if resuming and ckpt.reads_done:
         skip_reads(lines, ckpt.reads_done)
         reads_done = ckpt.reads_done
-    while True:
-        batch = load_batch(lines, batch_size, adaptor.encode())
-        n = len(batch)
-        if n == 0:
-            break
-        codes, lens = batch.packed()
 
-        streams = None
-        if hasattr(backend, "map_single_end"):
-            # device path: seed/refine/verify AND the BestMatch fold run on
-            # device (ops/se_fold); only reads the fixed shapes could not
-            # hold replay the exact host path
-            import numpy as np
+    if hasattr(backend, "map_single_end"):
+        # Device path: seed/refine/verify AND the BestMatch fold run on
+        # device (ops/se_fold); only reads the fixed shapes could not hold
+        # replay the exact host path.  The loop is software-pipelined with
+        # one mapper thread: parse of batch i+1 and emission of batch i-1
+        # both hide under the device time of batch i.  (Costs one extra
+        # in-flight batch of host memory over the reference's -N bound.)
+        import numpy as np
+        from concurrent.futures import ThreadPoolExecutor
 
+        def map_batch(batch):
+            codes, lens = batch.packed()
             v_pos, v_times, v_minus, v_mm, fb_any = backend.map_single_end(
                 codes, lens, tables, b, max_mismatches, pattern, ag_wildcard
             )
+            return codes, lens, v_pos, v_times, v_minus, v_mm, fb_any
+
+        def emit_batch(batch, mapped):
+            codes, lens, v_pos, v_times, v_minus, v_mm, fb_any = mapped
             for i in np.flatnonzero(fb_any):
                 bm = replay_single(
                     [
@@ -123,19 +126,54 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
                 ag_wildcard, sam, ambiguous, unmapped, fout, famb, funm,
                 stat, pattern.min_read_len,
             )
-            reads_done += n
-            if ckpt is not None:
-                ckpt.save(stat, files, reads_done)
-            if n < batch_size:
-                break
-            continue
-        else:
-            streams = []
-            for (g, ht), strand in zip(tables, strands):
-                per_read = backend.map_strand(
-                    codes, lens, g, ht, ag_wildcard, b, max_mismatches, pattern
-                )
-                streams.append((strand, per_read))
+
+        with ThreadPoolExecutor(1) as ex:
+            prev = None
+            while True:
+                batch = load_batch(lines, batch_size, adaptor.encode())
+                n = len(batch)
+                fut = ex.submit(map_batch, batch) if n else None
+                if prev is not None:
+                    pb, pfut = prev
+                    emit_batch(pb, pfut.result())
+                    reads_done += len(pb)
+                    if ckpt is not None:
+                        ckpt.save(stat, files, reads_done)
+                prev = (batch, fut) if n else None
+                if n < batch_size:
+                    break
+            if prev is not None:
+                pb, pfut = prev
+                emit_batch(pb, pfut.result())
+                reads_done += len(pb)
+                if ckpt is not None:
+                    ckpt.save(stat, files, reads_done)
+        lines.close()
+        fout.close()
+        for f in (famb, funm):
+            if f is not None:
+                f.close()
+        with open(output_file + ".mapstats", "a") as ms:
+            ms.write(stat.tostring(pattern.min_read_len) + "\n")
+        if ckpt is not None:
+            ckpt.save(stat, {}, reads_done, done=True)
+        if verbose:
+            print(f"mapping_time: {time.process_time() - t0}", file=sys.stderr)
+        return stat
+
+    while True:
+        batch = load_batch(lines, batch_size, adaptor.encode())
+        n = len(batch)
+        if n == 0:
+            break
+        codes, lens = batch.packed()
+
+        streams = []
+        for (g, ht), strand in zip(tables, strands):
+            per_read = backend.map_strand(
+                codes, lens, g, ht, ag_wildcard, b, max_mismatches, pattern
+            )
+            streams.append((strand, per_read))
 
         for j in range(n):
             if int(lens[j]) < pattern.min_read_len:

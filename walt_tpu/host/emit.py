@@ -190,7 +190,7 @@ def write_single_batch(pos, times, minus, mm, batch, genome: Genome,
     from the device fold (shorts and unmapped reads carry times == 0).
     """
     n = pos.shape[0]
-    rlens = np.fromiter((len(s) for s in batch.seqs), np.int64, n)
+    rlens = batch.lengths().astype(np.int64)
     start_index = genome.start_index.astype(np.int64)
     chr_id = np.searchsorted(start_index, pos.astype(np.int64), side="right") - 1
     start = pos.astype(np.int64) - start_index[chr_id]
@@ -204,6 +204,34 @@ def write_single_batch(pos, times, minus, mm, batch, genome: Genome,
     stat.unique += int((times == 1).sum())
     stat.ambiguous += int((times >= 2).sum())
     stat.num_of_short += 2 * int(short.sum())
+
+    if not sam and batch.native is not None:
+        from walt_tpu import native
+
+        buf, noff, nlen, qoff, qlen, seqbytes = batch.native
+        cnames = [s.encode() for s in genome.names]
+        lens32 = np.asarray([len(s) for s in cnames], dtype=np.int32)
+        offs = np.zeros(len(cnames), dtype=np.int64)
+        if len(cnames) > 1:
+            np.cumsum(lens32[:-1], out=offs[1:])
+        blob_a = np.frombuffer(b"".join(cnames), dtype=np.uint8)
+        for f in (fout, famb, funm):
+            if f is not None:
+                f.flush()
+        ok = native.mr_emit(
+            fout.fileno(), famb.fileno() if famb is not None else -1,
+            funm.fileno() if funm is not None else -1,
+            buf, noff, nlen, qoff, qlen, seqbytes,
+            np.ascontiguousarray(batch.lengths(), dtype=np.int32),
+            np.ascontiguousarray(times, dtype=np.int32),
+            np.ascontiguousarray(minus).view(np.uint8),
+            np.ascontiguousarray(start, dtype=np.int64),
+            np.ascontiguousarray(mm, dtype=np.int32),
+            np.ascontiguousarray(chr_id, dtype=np.int32),
+            blob_a, offs, lens32, ag_wildcard,
+        )
+        if ok:
+            return
 
     names = batch.names
     seqs = batch.seqs

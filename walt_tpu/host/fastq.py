@@ -20,8 +20,6 @@ including its quirks, because every one of them is observable in the output:
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 from walt_tpu.constants import BASE_TO_CODE, CODE_TO_BASE, MAX_LINE_LENGTH, PAD_CODE
@@ -113,16 +111,65 @@ def clip_adaptor(seq: bytearray, adaptor: bytes) -> None:
             return
 
 
-@dataclasses.dataclass
 class ReadBatch:
-    names: list  # str
-    seqs: list  # bytes (post clip + toACGT: strictly ACGT)
-    quals: list  # bytes
-    _codes: np.ndarray | None = None  # precomputed by the fast loader
-    _lens: np.ndarray | None = None
+    """One loaded batch; names/seqs/quals materialize lazily.
+
+    The native loader (walt_tpu.native.fastio) produces offset arrays into
+    the raw buffer plus a decoded base matrix; the Python object lists are
+    only built when a consumer actually subscripts them (host-fallback
+    reads, the slow emit paths), so the common device path never runs a
+    per-read interpreter loop.
+    """
+
+    def __init__(self, names=None, seqs=None, quals=None,
+                 _codes=None, _lens=None, _native=None):
+        self._names = names
+        self._seqs = seqs
+        self._quals = quals
+        self._codes = _codes  # precomputed by the fast loaders
+        self._lens = _lens
+        #: (buf, name_off, name_len, qual_off, qual_len, seqbytes) or None
+        self.native = _native
 
     def __len__(self):
-        return len(self.names)
+        if self._lens is not None:
+            return len(self._lens)
+        return len(self._names)
+
+    @property
+    def names(self):
+        if self._names is None:
+            buf, noff, nlen, _, _, _ = self.native
+            no, nl = noff.tolist(), nlen.tolist()
+            self._names = [
+                buf[no[i]: no[i] + nl[i]].decode() for i in range(len(no))
+            ]
+        return self._names
+
+    @property
+    def seqs(self):
+        if self._seqs is None:
+            sb = self.native[5]
+            flat = sb.tobytes()
+            L = sb.shape[1]
+            sl = self._lens.tolist()
+            self._seqs = [flat[i * L: i * L + sl[i]] for i in range(len(sl))]
+        return self._seqs
+
+    @property
+    def quals(self):
+        if self._quals is None:
+            buf, _, _, qoff, qlen, _ = self.native
+            qo, ql = qoff.tolist(), qlen.tolist()
+            self._quals = [
+                buf[qo[i]: qo[i] + ql[i]] for i in range(len(qo))
+            ]
+        return self._quals
+
+    def lengths(self) -> np.ndarray:
+        if self._lens is not None:
+            return self._lens
+        return np.array([len(s) for s in self.seqs], dtype=np.int32)
 
     def packed(self, pad_to: int | None = None):
         """(codes uint8 (B, Lmax) PAD_CODE-padded, lengths int32 (B,))."""
@@ -146,10 +193,35 @@ def load_batch(lines: FgetsLines, n_reads: int, adaptor: bytes = b"") -> ReadBat
     line-by-line loop.  Both produce identical batches.
     """
     if not adaptor:
-        fast = _load_batch_fast(lines, n_reads)
+        fast = _load_batch_native(lines, n_reads)
+        if fast is None:
+            fast = _load_batch_fast(lines, n_reads)
         if fast is not None:
             return fast
     return _load_batch_slow(lines, n_reads, adaptor)
+
+
+def _load_batch_native(lines: FgetsLines, n_reads: int):
+    """Native single-pass parse (walt_tpu.native.fastio); None -> fall back."""
+    from walt_tpu import native
+
+    if native.get_lib() is None:
+        return None
+    lines.fill(4 * n_reads)
+    buf = lines._buf
+    if not buf:
+        return ReadBatch(names=[], seqs=[], quals=[])
+    parsed = native.fastq_parse(buf, n_reads)
+    if parsed is None:
+        return None
+    consumed, codes, seqbytes, slens, noff, nlen, qoff, qlen = parsed
+    if consumed == 0:
+        return ReadBatch(names=[], seqs=[], quals=[])
+    lines.take_buffer(consumed)
+    return ReadBatch(
+        _codes=codes, _lens=slens,
+        _native=(buf, noff, nlen, qoff, qlen, seqbytes),
+    )
 
 
 def _load_batch_fast(lines: FgetsLines, n_reads: int):

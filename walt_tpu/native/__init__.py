@@ -13,7 +13,7 @@ import os
 import subprocess
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "finalize.cpp")
+_SRCS = [os.path.join(_DIR, "finalize.cpp"), os.path.join(_DIR, "fastio.cpp")]
 _SO = os.path.join(_DIR, "libwaltx_finalize.so")
 
 _lib = None
@@ -22,7 +22,7 @@ _tried = False
 
 def _build() -> bool:
     try:
-        src_m = os.path.getmtime(_SRC)
+        src_m = max(os.path.getmtime(s) for s in _SRCS)
     except OSError:
         return False
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_m:
@@ -30,7 +30,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o",
-             _SO + ".tmp", _SRC],
+             _SO + ".tmp"] + _SRCS,
             check=True, capture_output=True, timeout=120,
         )
         os.replace(_SO + ".tmp", _SO)
@@ -73,8 +73,101 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int32,
     ]
     lib.sort_buckets.restype = None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.fastq_scan.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i32p,
+    ]
+    lib.fastq_scan.restype = ctypes.c_int
+    lib.fastq_fill.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        u8p, u8p, i32p, i64p, i32p, i64p, i32p,
+    ]
+    lib.fastq_fill.restype = None
+    lib.mr_emit_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8p, i64p, i32p, i64p, i32p,
+        u8p, ctypes.c_int32, i32p,
+        i32p, u8p, i64p, i32p,
+        i32p, u8p, i64p, i32p,
+        ctypes.c_int,
+    ]
+    lib.mr_emit_batch.restype = ctypes.c_int
     _lib = lib
     return _lib
+
+
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def fastq_parse(buf: bytes, max_reads: int):
+    """Native fast-path FASTQ batch parse (fastio.cpp).
+
+    Returns (consumed, codes, seqbytes, slens, name_off, name_len, qual_off,
+    qual_len) or None when the buffer needs the exact Python fallback (or
+    the library is unavailable).  ``consumed == 0`` with empty arrays means
+    an empty buffer.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = np.frombuffer(buf, dtype=np.uint8)
+    consumed = ctypes.c_int64()
+    n_reads = ctypes.c_int64()
+    lmax = ctypes.c_int32()
+    rc = lib.fastq_scan(
+        _ptr(data, ctypes.c_uint8), data.shape[0], max_reads,
+        ctypes.byref(consumed), ctypes.byref(n_reads), ctypes.byref(lmax),
+    )
+    if rc < 0:
+        return None
+    B, L = int(n_reads.value), int(lmax.value)
+    codes = np.empty((B, L), dtype=np.uint8)
+    seqbytes = np.empty((B, L), dtype=np.uint8)
+    slens = np.empty(B, dtype=np.int32)
+    name_off = np.empty(B, dtype=np.int64)
+    name_len = np.empty(B, dtype=np.int32)
+    qual_off = np.empty(B, dtype=np.int64)
+    qual_len = np.empty(B, dtype=np.int32)
+    if B:
+        lib.fastq_fill(
+            _ptr(data, ctypes.c_uint8), consumed.value, B, L,
+            _ptr(codes, ctypes.c_uint8), _ptr(seqbytes, ctypes.c_uint8),
+            _ptr(slens, ctypes.c_int32),
+            _ptr(name_off, ctypes.c_int64), _ptr(name_len, ctypes.c_int32),
+            _ptr(qual_off, ctypes.c_int64), _ptr(qual_len, ctypes.c_int32),
+        )
+    return (int(consumed.value), codes, seqbytes, slens,
+            name_off, name_len, qual_off, qual_len)
+
+
+def mr_emit(fd_main: int, fd_amb: int, fd_unm: int, buf, name_off, name_len,
+            qual_off, qual_len, seqbytes, slens, times, minus, starts, mm,
+            chr_id, chr_names, chr_off, chr_len, ag_wildcard: bool) -> bool:
+    """Native batched MR emission to raw fds (fastio.cpp).  Callers must
+    flush Python-level file buffers first.  False when unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    data = np.frombuffer(buf, dtype=np.uint8)
+    n, lmax = seqbytes.shape
+    rc = lib.mr_emit_batch(
+        n, fd_main, fd_amb, fd_unm,
+        _ptr(data, ctypes.c_uint8),
+        _ptr(name_off, ctypes.c_int64), _ptr(name_len, ctypes.c_int32),
+        _ptr(qual_off, ctypes.c_int64), _ptr(qual_len, ctypes.c_int32),
+        _ptr(seqbytes, ctypes.c_uint8), lmax, _ptr(slens, ctypes.c_int32),
+        _ptr(times, ctypes.c_int32), _ptr(minus, ctypes.c_uint8),
+        _ptr(starts, ctypes.c_int64), _ptr(mm, ctypes.c_int32),
+        _ptr(chr_id, ctypes.c_int32), _ptr(chr_names, ctypes.c_uint8),
+        _ptr(chr_off, ctypes.c_int64), _ptr(chr_len, ctypes.c_int32),
+        1 if ag_wildcard else 0,
+    )
+    return rc == 0
 
 
 def sort_buckets(seq, chrom_start, counter, index, cared, key_weight,

@@ -47,6 +47,19 @@ import numpy as np
 from walt_tpu.constants import get_pattern
 from walt_tpu.ops import packing
 
+
+def _use_pallas() -> bool:
+    """Route the verify stage through the Pallas kernel (WALTX_PALLAS=1).
+
+    Off by default: on the tunnel-attached bench device the XLA and Pallas
+    formulations are within noise (the pipeline is RTT-bound), and the XLA
+    path also runs on the CPU test mesh without interpret-mode overhead.
+    """
+    import os
+
+    return os.environ.get("WALTX_PALLAS", "") == "1"
+
+
 #: tier-1 verify slab: refined entries verified per (read, seed); tiny on
 #: purpose -- see module docstring
 VERIFY_SLAB_T1 = 8
@@ -225,19 +238,55 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     gpos = entry - seed_b
     ok_tail = (gpos + lens[:, None, None]) < ch_end  # mapping.cpp:285 ('>=' skips)
 
-    win = packing.window_words(pseq, gpos, W)  # (B, S, C, W)
-    d = win ^ conv[:, None, None, :]
-    fold = d | (d >> 1)
-
     lane_masks = packing.len_lane_masks(lens, W)  # (B, W)
-    mm = jnp.sum(
-        jax.lax.population_count(fold & lane_masks[:, None, None, :]),
-        axis=-1,
-        dtype=jnp.int32,
-    )
+    # cared masks for refinement by match: an entry is in the reference's
+    # refined equal range iff its cared bases beyond the hash key all equal
+    # the read's
+    mask_tab = jnp.asarray(_cared_mask_table(pattern_name, seeds, W))  # (S*(L+1), W)
+    L1 = pattern.cared_size + 1
+    lvl = jnp.asarray(np.arange(S) * L1, dtype=jnp.int32)[None, :] + jnp.clip(
+        seed_len, 0, pattern.cared_size
+    )[:, None]
+    cared_mask = jnp.take(mask_tab, lvl, axis=0)  # (B, S, W)
+
+    if _use_pallas():
+        # gather raw (W+1)-word slices in XLA, fuse the align/compare/count
+        # chain in the Pallas kernel (ops/pallas_verify)
+        from walt_tpu.ops import pallas_verify
+
+        word0 = (gpos >> 4).astype(jnp.int32)
+        sh = ((gpos & 15) << 1).astype(jnp.uint32)  # (B, S, C)
+        widx = word0[..., None] + jnp.arange(W + 1, dtype=jnp.int32)
+        slices = jnp.take(pseq, widx, mode="clip")  # (B, S, C, W+1)
+        mm, miss = pallas_verify.verify_slices(
+            slices.reshape(B, S * C, W + 1), sh.reshape(B, S * C),
+            conv, lane_masks, cared_mask, S=S, C=C, W=W,
+            interpret=jax.default_backend() == "cpu",
+        )
+        eq0 = ~miss
+
+        def win_word(j):
+            lo, hi = slices[..., j], slices[..., j + 1]
+            return jnp.where(
+                sh == 0, lo, (lo << sh) | ((hi >> (jnp.uint32(31) - sh)) >> 1)
+            )
+    else:
+        win = packing.window_words(pseq, gpos, W)  # (B, S, C, W)
+        d = win ^ conv[:, None, None, :]
+        fold = d | (d >> 1)
+        mm = jnp.sum(
+            jax.lax.population_count(fold & lane_masks[:, None, None, :]),
+            axis=-1,
+            dtype=jnp.int32,
+        )
+        eq0 = ~jnp.any(fold & cared_mask[:, :, None, :], axis=-1)  # (B, S, C)
+
+        def win_word(j):
+            return win[..., j]
+
     for shift, min_rep, posn in pattern.verify_skip:
         if posn < Lmax:
-            wv = (win[..., posn // 16] >> jnp.uint32(30 - 2 * (posn % 16))) & 3
+            wv = (win_word(posn // 16) >> jnp.uint32(30 - 2 * (posn % 16))) & 3
             rv = packing.extract_lane(conv, posn)[:, None, None]
             cond = (
                 (seed_b == shift)
@@ -246,16 +295,6 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
                 & (wv != rv)
             )
             mm = mm - cond.astype(jnp.int32)
-
-    # refinement by match: an entry is in the reference's refined equal range
-    # iff its cared bases beyond the hash key all equal the read's
-    mask_tab = jnp.asarray(_cared_mask_table(pattern_name, seeds, W))  # (S*(L+1), W)
-    L1 = pattern.cared_size + 1
-    lvl = jnp.asarray(np.arange(S) * L1, dtype=jnp.int32)[None, :] + jnp.clip(
-        seed_len, 0, pattern.cared_size
-    )[:, None]
-    cared_mask = jnp.take(mask_tab, lvl, axis=0)  # (B, S, W)
-    eq0 = ~jnp.any(fold & cared_mask[:, :, None, :], axis=-1)  # (B, S, C)
 
     refined = eq0 & in_bucket
     refined_cnt = jnp.sum(refined, axis=-1, dtype=jnp.int32)  # (B, S)
