@@ -227,14 +227,16 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
             _stat_from_dict(stat, ckpt.stat_dict())
         return stat
 
-    fout = open(output_file, "a")
+    from walt_tpu.host.directfile import DirectFile
+
+    fout = DirectFile(output_file, "a")
     fouts = {"out": fout, "ambiguous": ambiguous, "unmapped": unmapped}
     files = {output_file: fout}
     for mate in (1, 2):
         for kind, enabled in (("ambiguous", ambiguous), ("unmapped", unmapped)):
             key = f"{kind[:3]}{mate}"
             path = f"{output_file}_{mate}_{kind}"
-            f = open(path, "a" if resuming else "w") if (
+            f = DirectFile(path, "a" if resuming else "w") if (
                 enabled and not sam
             ) else None
             fouts[key] = f

@@ -51,13 +51,15 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
             _stat_from_dict(stat, ckpt.stat_dict())
         return stat
 
+    from walt_tpu.host.directfile import DirectFile
+
     stat = emit.StatSingleReads()
-    fout = open(output_file, "a")
+    fout = DirectFile(output_file, "a")
     famb = funm = None
     if ambiguous and not sam:
-        famb = open(output_file + "_ambiguous", "a" if resuming else "w")
+        famb = DirectFile(output_file + "_ambiguous", "a" if resuming else "w")
     if unmapped and not sam:
-        funm = open(output_file + "_unmapped", "a" if resuming else "w")
+        funm = DirectFile(output_file + "_unmapped", "a" if resuming else "w")
     files = {output_file: fout}
     if famb is not None:
         files[output_file + "_ambiguous"] = famb

@@ -92,6 +92,8 @@ def get_lib():
         ctypes.c_int,
     ]
     lib.mr_emit_batch.restype = ctypes.c_int
+    lib.dio_write.argtypes = [ctypes.c_int, u8p, ctypes.c_int64]
+    lib.dio_write.restype = ctypes.c_int
     _lib = lib
     return _lib
 

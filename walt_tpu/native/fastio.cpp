@@ -130,6 +130,13 @@ inline int direct_write(int fd, const char* p, size_t n) {
 
 extern "C" {
 
+// Append a pre-assembled buffer through the O_DIRECT-capable writer; the
+// Python DirectFile wrapper batches small text writes and flushes here.
+int dio_write(int fd, const uint8_t* p, int64_t n) {
+  return direct_write(fd, reinterpret_cast<const char*>(p),
+                      static_cast<size_t>(n));
+}
+
 // Pass 1: structure scan.  Returns 0 on fast-path success (outputs filled),
 // -1 when the buffer needs the exact Python fallback, 1 when the buffer is
 // empty.  consumed = bytes of complete records; n_reads; lmax = longest
