@@ -124,6 +124,11 @@ def build_map_parser() -> argparse.ArgumentParser:
     a("--resume", dest="resume", action="store_true",
       help="checkpoint after every batch and continue an interrupted run "
            "from its last completed batch (walt_tpu.host.resume)")
+    a("--multihost", dest="multihost", action="store_true",
+      help="multi-host pod-slice run (jax.distributed): read files are "
+           "data-parallel round-robin across processes; outputs must be "
+           "1:1 with inputs so every file's output is byte-identical to a "
+           "single-host run (walt_tpu.parallel.multihost)")
     return p
 
 
@@ -153,11 +158,34 @@ def main_map(argv=None) -> int:
     if not (2 <= args.top_k <= 300):
         raise SystemExit("paired-end candidates must be in [2, 300]")
 
+    # multi-host: file-granular data parallelism across jax processes; each
+    # run's outputs are byte-identical to a single-host run of that file
+    pid, nproc = 0, 1
+    if args.multihost:
+        from walt_tpu.parallel import multihost
+
+        # populate the heap BEFORE joining the coordination service: a
+        # multi-GB MADV_POPULATE_WRITE through a userfaultfd-served VMM can
+        # outlast the jax.distributed heartbeat timeout (~100 s) when every
+        # host does it at once, and the stalled fault path takes the
+        # heartbeat threads down with it
+        from walt_tpu.hostmem import prefault as _prefault
+
+        _prefault()
+        pid, nproc = multihost.initialize()
+        if len(set(outputs)) != n_runs:
+            raise SystemExit(
+                "--multihost needs one output file per input file"
+            )
+
     # clear output files so later appends make sense (walt.cpp:229-233);
-    # under --resume the drivers restore/truncate from their checkpoints
+    # under --resume the drivers restore/truncate from their checkpoints.
+    # Under --multihost each process touches only its own runs' outputs.
     shared_output = len(set(outputs)) != len(outputs)
     if not args.resume:
-        for out in outputs:
+        for oi, out in enumerate(outputs):
+            if oi % nproc != pid:
+                continue
             open(out, "w").close()
             open(out + ".mapstats", "w").close()
     elif shared_output:
@@ -183,29 +211,36 @@ def main_map(argv=None) -> int:
         return f".run{i}" if (args.resume and shared_output) else ""
 
     for f in se_files:
-        process_single_end(
-            args.index, f, outputs[oi], batch_size=args.batch,
-            max_mismatches=args.mismatch, b=args.bucket, adaptor=args.adaptor,
-            ag_wildcard=args.ag_wildcard or args.pbat, ambiguous=args.ambiguous,
-            unmapped=args.unmapped, sam=args.sam, backend=backend,
-            pattern_name=args.seed_pattern, verbose=args.verbose,
-            resume=args.resume, ckpt_tag=_tag(oi),
-        )
+        if oi % nproc == pid:
+            process_single_end(
+                args.index, f, outputs[oi], batch_size=args.batch,
+                max_mismatches=args.mismatch, b=args.bucket,
+                adaptor=args.adaptor,
+                ag_wildcard=args.ag_wildcard or args.pbat,
+                ambiguous=args.ambiguous,
+                unmapped=args.unmapped, sam=args.sam, backend=backend,
+                pattern_name=args.seed_pattern, verbose=args.verbose,
+                resume=args.resume, ckpt_tag=_tag(oi),
+            )
         oi += 1
 
     from walt_tpu.core.paired_end import process_paired_end
 
     for f1, f2 in zip(pe1, pe2):
-        process_paired_end(
-            args.index, f1, f2, outputs[oi], batch_size=args.batch,
-            max_mismatches=args.mismatch, b=args.bucket, adaptor=args.adaptor,
-            top_k=args.top_k, frag_range=args.fraglen,
-            ambiguous=args.ambiguous, unmapped=args.unmapped, sam=args.sam,
-            backend=backend, pattern_name=args.seed_pattern,
-            verbose=args.verbose, pbat=args.pbat,
-            resume=args.resume, ckpt_tag=_tag(oi),
-        )
+        if oi % nproc == pid:
+            process_paired_end(
+                args.index, f1, f2, outputs[oi], batch_size=args.batch,
+                max_mismatches=args.mismatch, b=args.bucket,
+                adaptor=args.adaptor,
+                top_k=args.top_k, frag_range=args.fraglen,
+                ambiguous=args.ambiguous, unmapped=args.unmapped, sam=args.sam,
+                backend=backend, pattern_name=args.seed_pattern,
+                verbose=args.verbose, pbat=args.pbat,
+                resume=args.resume, ckpt_tag=_tag(oi),
+            )
         oi += 1
+    if args.multihost:
+        multihost.barrier("waltx-map-done")
     return 0
 
 
@@ -240,10 +275,27 @@ def main_index(argv=None) -> int:
     return 0
 
 
+def main_merge_stats(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="waltx merge-stats",
+        description="sum .mapstats files from split-input runs into one",
+    )
+    p.add_argument("stats", nargs="+", help="per-part .mapstats files")
+    p.add_argument("-o", "--output", required=True)
+    args = p.parse_args(argv)
+
+    from walt_tpu.parallel.multihost import merge_mapstats
+
+    merge_mapstats(args.stats, args.output)
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "index":
         return main_index(argv[1:])
+    if argv and argv[0] == "merge-stats":
+        return main_merge_stats(argv[1:])
     if argv and argv[0] == "map":
         argv = argv[1:]
     return main_map(argv)
