@@ -12,32 +12,28 @@ from walt_tpu.constants import get_pattern  # noqa: E402
 from walt_tpu.ops import pallas_verify, pipeline  # noqa: E402
 
 
-def _random_inputs(rng, B, S, C, W):
-    slices = rng.integers(0, 1 << 32, (B, S * C, W + 1), dtype=np.uint32)
-    shift = (rng.integers(0, 16, (B, S * C)) * 2).astype(np.uint32)
-    conv = rng.integers(0, 1 << 32, (B, W), dtype=np.uint32)
-    lane = np.zeros((B, W), dtype=np.uint32)
-    cared = np.zeros((B, S, W), dtype=np.uint32)
-    for b in range(B):
+def _random_inputs(rng, M, W):
+    slices = rng.integers(0, 1 << 32, (M, W + 1), dtype=np.uint32)
+    shift = (rng.integers(0, 16, (M,)) * 2).astype(np.uint32)
+    conv = rng.integers(0, 1 << 32, (M, W), dtype=np.uint32)
+    lane = np.zeros((M, W), dtype=np.uint32)
+    for b in range(M):
         nl = rng.integers(1, W * 16 + 1)
         for w in range(W):
             nv = int(np.clip(nl - 16 * w, 0, 16))
             if nv:
                 lane[b, w] = (0x55555555 << (2 * (16 - nv))) & 0xFFFFFFFF
-        cared[b] = rng.integers(0, 1 << 32, (S, W), dtype=np.uint32) & lane[b]
-    return tuple(map(jnp.asarray, (slices, shift, conv, lane, cared)))
+    return tuple(map(jnp.asarray, (slices, shift, conv, lane)))
 
 
-@pytest.mark.parametrize("B,S,C,W", [(16, 3, 8, 7), (5, 1, 4, 3), (64, 3, 2, 13)])
-def test_kernel_matches_reference(B, S, C, W):
-    rng = np.random.default_rng(42 + B)
-    args = _random_inputs(rng, B, S, C, W)
-    mm_k, miss_k = pallas_verify.verify_slices(
-        *args, S=S, C=C, W=W, interpret=True
-    )
-    mm_r, miss_r = pallas_verify.verify_slices_reference(*args, S=S, C=C, W=W)
+@pytest.mark.parametrize("M,W", [(384, 7), (5, 3), (64, 13)])
+def test_kernel_matches_reference(M, W):
+    rng = np.random.default_rng(42 + M)
+    args = _random_inputs(rng, M, W)
+    mm_k, win_k = pallas_verify.verify_flat(*args, W=W, interpret=True)
+    mm_r, win_r = pallas_verify.verify_flat_reference(*args, W=W)
     np.testing.assert_array_equal(np.asarray(mm_k), np.asarray(mm_r))
-    np.testing.assert_array_equal(np.asarray(miss_k), np.asarray(miss_r))
+    np.testing.assert_array_equal(np.asarray(win_k), np.asarray(win_r))
 
 
 def test_pipeline_pallas_matches_xla(my_index):

@@ -139,7 +139,8 @@ class JaxBackend:
             devs.append(dev)
             bits.append(dt.max_bucket_bits)
 
-        def run(codes_, lens_, seeds, slab, cand_slab=None, chunk=None):
+        def run(codes_, lens_, seeds, slab, cand_slab=None, chunk=None,
+                wl_factor=pipeline.WL_FACTOR):
             m = codes_.shape[0]
             results = []
             for a, z, pc, pl in self._chunks(codes_, lens_, pattern, chunk):
@@ -148,7 +149,7 @@ class JaxBackend:
                     tuple(devs), pattern_name=pattern.name,
                     ag_wildcard=ag_wildcard, search_bits=tuple(bits),
                     verify_slab=slab, cand_slab=cand_slab or self.cand_slab,
-                    seeds=seeds,
+                    seeds=seeds, wl_factor=wl_factor,
                 )
                 results.append((a, z, r))
             out = [np.empty(m, t) for t in
@@ -190,11 +191,13 @@ class JaxBackend:
         else:
             out = run(codes, lens, None, self.verify_slab_t1)
             pos, times, minus, mm, fb = out
-        # Tier 2: larger verify slab for reads whose refined run overflowed.
+        # Tier 2: larger verify slab for reads whose refined run (or
+        # worklist share) overflowed tier 1.
         todo = np.flatnonzero(fb)
         if todo.size:
             merge(out, todo,
-                  run(codes[todo], lens[todo], None, self.verify_slab))
+                  run(codes[todo], lens[todo], None, self.verify_slab,
+                      wl_factor=3 * self.verify_slab))
         # Tier 3: highly repetitive reads (runs up to 512, e.g. transposon
         # prefixes); small chunks keep the padded work bounded.  Whatever
         # still falls back (flagged buckets, runs > 512) is for the host.
@@ -202,7 +205,7 @@ class JaxBackend:
         if todo.size:
             merge(out, todo,
                   run(codes[todo], lens[todo], None, 512, cand_slab=512,
-                      chunk=256))
+                      chunk=256, wl_factor=3 * 512))
         self.total_reads += n
         self.fallback_reads += int(fb.sum())
         return pos, times, minus, mm, fb
@@ -219,7 +222,8 @@ class JaxBackend:
         dt, dev = self._device_table(genome, table, pattern)
         C = self.cand_slab
 
-        def run(codes_, lens_, slab, chunk=None):
+        def run(codes_, lens_, slab, chunk=None,
+                wl_factor=pipeline.WL_FACTOR):
             m = codes_.shape[0]
             results = []
             for a, z, pc, pl in self._chunks(codes_, lens_, pattern, chunk):
@@ -227,7 +231,7 @@ class JaxBackend:
                     pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
                     pattern_name=pattern.name, ag_wildcard=ag_wildcard,
                     search_bits=dt.max_bucket_bits,
-                    verify_slab=slab, cand_slab=C,
+                    verify_slab=slab, cand_slab=C, wl_factor=wl_factor,
                     **dev,
                 )
                 results.append((a, z, r))
@@ -251,7 +255,8 @@ class JaxBackend:
             todo = np.flatnonzero(out[4])
             if not todo.size:
                 break
-            vals = run(codes[todo], lens[todo], slab, chunk)
+            vals = run(codes[todo], lens[todo], slab, chunk,
+                       wl_factor=3 * slab)
             for o, v in zip(out, vals):
                 o[todo] = v
         self.total_reads += n

@@ -67,6 +67,9 @@ VERIFY_SLAB_T1 = 8
 VERIFY_SLAB = 64
 #: max surviving candidates per (read, strand)
 CAND_SLAB = 32
+#: worklist slots per read in a chunk (cross-read compaction of refined
+#: survivors before the genome-window gather); spills take the host path
+WL_FACTOR = 4
 
 
 def _lex_ge(es, rs):
@@ -77,38 +80,13 @@ def _lex_ge(es, rs):
     return ge
 
 
-@functools.lru_cache(maxsize=None)
-def _cared_mask_table(pattern_name: str, seeds: tuple, n_words: int):
-    """Static (S * (cared_size+1), W) lane masks of cared[kw..t) shifted by s.
-
-    Level t is the read's seed_len: mask[s][t] has the lo lane bit set at
-    read position cared[j]+s for every cared index j in [key_weight, t) --
-    the positions the reference's sorted-bucket refinement compares beyond
-    the hash key (mapping.cpp:198-222).  Bits past the packed window are
-    dropped (such positions cannot occur for any read fitting the window).
-    """
-    pattern = get_pattern(pattern_name)
-    kw = pattern.key_weight
-    L = pattern.cared_size
-    tab = np.zeros((len(seeds), L + 1, n_words), dtype=np.uint32)
-    for si, s in enumerate(seeds):
-        acc = np.zeros(n_words, dtype=np.uint32)
-        for t in range(kw + 1, L + 1):
-            p = int(pattern.cared[t - 1]) + s
-            if p < n_words * 16:
-                acc[p // 16] |= np.uint32(1) << np.uint32(30 - 2 * (p % 16))
-            tab[si, t] = acc
-    # NumPy, not jnp: this is lru_cached across traces, and a jnp constant
-    # created inside one trace must not leak into another
-    return tab.reshape(len(seeds) * (L + 1), n_words)
-
-
 def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
                     start_index, bucket_flagged, *, pattern_name: str,
                     ag_wildcard: bool, search_bits: int,
                     verify_slab: int = VERIFY_SLAB_T1,
                     cand_slab: int = CAND_SLAB,
-                    key_base=None, seeds: tuple | None = None):
+                    key_base=None, seeds: tuple | None = None,
+                    wl_factor: int = WL_FACTOR):
     """Map a read batch against one table (trace-level core).
 
     preads: (B, W) uint32 packed read codes; lens: (B,) int32; pseq: packed
@@ -222,81 +200,22 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     # first entry >= read prefix: the refined run starts here
     lower, _ = jax.lax.fori_loop(0, search_bits, body, (lo, hi))
 
-    # --- verify the slab [lower, lower + C) clipped to the bucket ---
+    # --- slab membership from the SAME packed lookup keys the probes read:
+    # an entry is in the reference's refined equal range iff its cared bases
+    # beyond the hash key all equal the read's (mapping.cpp:198-222), i.e.
+    # its masked key words EQUAL the read's masked prefix words.  This costs
+    # npw (<=3) gathered words per slot instead of the W+1 genome-window
+    # words the old formulation compared under a cared mask.
     shifts = jnp.asarray(seeds, dtype=jnp.int32)  # (S,)
     j = jnp.arange(C, dtype=jnp.int32)
     in_bucket = j[None, None, :] < (hi - lower)[:, :, None]
     slot = lower[:, :, None] + j[None, None, :]
-    entry = jnp.take(index, jnp.clip(slot, 0, n_entries - 1)).astype(jnp.int32)  # (B,S,C)
-    chrom = (
-        jnp.searchsorted(start_index.astype(jnp.int32), entry, side="right") - 1
-    )
-    ch_start = start_index.astype(jnp.int32)[chrom]
-    ch_end = start_index.astype(jnp.int32)[jnp.minimum(chrom + 1, start_index.shape[0] - 1)]
-    seed_b = shifts[None, :, None]
-    ok_head = (entry - ch_start) >= seed_b  # mapping.cpp:282-283
-    gpos = entry - seed_b
-    ok_tail = (gpos + lens[:, None, None]) < ch_end  # mapping.cpp:285 ('>=' skips)
+    slotc = jnp.clip(slot, 0, n_entries - 1)
+    refined = in_bucket
+    for kw_, m, rw in zip(kws, masks, rws):
+        es = jnp.take(kw_, slotc) & m[:, :, None]
+        refined = refined & (es == rw[:, :, None])
 
-    lane_masks = packing.len_lane_masks(lens, W)  # (B, W)
-    # cared masks for refinement by match: an entry is in the reference's
-    # refined equal range iff its cared bases beyond the hash key all equal
-    # the read's
-    mask_tab = jnp.asarray(_cared_mask_table(pattern_name, seeds, W))  # (S*(L+1), W)
-    L1 = pattern.cared_size + 1
-    lvl = jnp.asarray(np.arange(S) * L1, dtype=jnp.int32)[None, :] + jnp.clip(
-        seed_len, 0, pattern.cared_size
-    )[:, None]
-    cared_mask = jnp.take(mask_tab, lvl, axis=0)  # (B, S, W)
-
-    if _use_pallas():
-        # gather raw (W+1)-word slices in XLA, fuse the align/compare/count
-        # chain in the Pallas kernel (ops/pallas_verify)
-        from walt_tpu.ops import pallas_verify
-
-        word0 = (gpos >> 4).astype(jnp.int32)
-        sh = ((gpos & 15) << 1).astype(jnp.uint32)  # (B, S, C)
-        widx = word0[..., None] + jnp.arange(W + 1, dtype=jnp.int32)
-        slices = jnp.take(pseq, widx, mode="clip")  # (B, S, C, W+1)
-        mm, miss = pallas_verify.verify_slices(
-            slices.reshape(B, S * C, W + 1), sh.reshape(B, S * C),
-            conv, lane_masks, cared_mask, S=S, C=C, W=W,
-            interpret=jax.default_backend() == "cpu",
-        )
-        eq0 = ~miss
-
-        def win_word(j):
-            lo, hi = slices[..., j], slices[..., j + 1]
-            return jnp.where(
-                sh == 0, lo, (lo << sh) | ((hi >> (jnp.uint32(31) - sh)) >> 1)
-            )
-    else:
-        win = packing.window_words(pseq, gpos, W)  # (B, S, C, W)
-        d = win ^ conv[:, None, None, :]
-        fold = d | (d >> 1)
-        mm = jnp.sum(
-            jax.lax.population_count(fold & lane_masks[:, None, None, :]),
-            axis=-1,
-            dtype=jnp.int32,
-        )
-        eq0 = ~jnp.any(fold & cared_mask[:, :, None, :], axis=-1)  # (B, S, C)
-
-        def win_word(j):
-            return win[..., j]
-
-    for shift, min_rep, posn in pattern.verify_skip:
-        if posn < Lmax:
-            wv = (win_word(posn // 16) >> jnp.uint32(30 - 2 * (posn % 16))) & 3
-            rv = packing.extract_lane(conv, posn)[:, None, None]
-            cond = (
-                (seed_b == shift)
-                & (repeats[:, None, None] >= min_rep)
-                & (posn < lens[:, None, None])
-                & (wv != rv)
-            )
-            mm = mm - cond.astype(jnp.int32)
-
-    refined = eq0 & in_bucket
     refined_cnt = jnp.sum(refined, axis=-1, dtype=jnp.int32)  # (B, S)
     capped = refined_cnt > b  # seed skipped entirely (mapping.cpp:275-277)
     # run may extend past the slab: every examined slot matched and bucket
@@ -306,33 +225,111 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     # partial count > b is already exact and needs no larger slab
     overflow = (refined_cnt == examined) & ((hi - lower) > C) & ~capped
 
-    keep = (
+    keep_pre = (
         refined
         & ~capped[:, :, None]
         & ~overflow[:, :, None]
-        & ok_head
-        & ok_tail
-        & (mm <= max_mm)
         & read_ok[:, None, None]
     )
 
-    # --- ordered compaction into the candidate slab ---
-    keep_f = keep.reshape(B, S * C)
-    dest = jnp.cumsum(keep_f, axis=1) - 1
-    dest = jnp.where(keep_f, dest, cand_slab)  # dropped by scatter mode
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    # --- compact the refined survivors into one flat cross-read worklist;
+    # windows are gathered and verified ONLY for real candidates (typically
+    # ~1-2 per read) instead of every slab slot.  Worklist order is flat
+    # (read, seed asc, bucket position asc) = the reference's examination
+    # order, so downstream per-read compaction stays ordered.
+    M = wl_factor * B
+    keep_flat = keep_pre.reshape(B * S * C)
+    gidx = jnp.cumsum(keep_flat.astype(jnp.int32)) - 1
+    wl_src = jnp.full((M,), -1, dtype=jnp.int32).at[
+        jnp.where(keep_flat & (gidx < M), gidx, M)
+    ].set(jnp.arange(B * S * C, dtype=jnp.int32), mode="drop")
+    # reads whose survivors spilled past the worklist take the host path
+    wl_spill = jnp.any(
+        (keep_flat & (gidx >= M)).reshape(B, S * C), axis=1
+    )
+
+    wl_valid = wl_src >= 0
+    wl_flat = jnp.maximum(wl_src, 0)
+    wl_read = wl_flat // (S * C)
+    wl_bs = wl_flat // C
+    wl_seedi = wl_bs % S
+    wl_shift = jnp.take(shifts, wl_seedi)  # (M,)
+    wl_entryidx = jnp.take(lower.reshape(-1), wl_bs) + (wl_flat % C)
+    wl_entry = jnp.take(
+        index, jnp.clip(wl_entryidx, 0, n_entries - 1)
+    ).astype(jnp.int32)
+    si32 = start_index.astype(jnp.int32)
+    chrom = jnp.searchsorted(si32, wl_entry, side="right") - 1
+    ch_start = si32[chrom]
+    ch_end = si32[jnp.minimum(chrom + 1, si32.shape[0] - 1)]
+    ok_head = (wl_entry - ch_start) >= wl_shift  # mapping.cpp:282-283
+    wl_gpos = wl_entry - wl_shift
+    wl_len = jnp.take(lens, wl_read)
+    ok_tail = (wl_gpos + wl_len) < ch_end  # mapping.cpp:285 ('>=' skips)
+
+    # converted read words + length lane masks for the worklist rows
+    conv_flat = conv.reshape(-1)
+    wl_conv = jnp.take(
+        conv_flat,
+        wl_read[:, None] * W + jnp.arange(W, dtype=jnp.int32)[None, :],
+    )  # (M, W)
+    wl_lane = packing.len_lane_masks(wl_len, W)  # (M, W)
+
+    if _use_pallas():
+        # gather raw (W+1)-word slices in XLA, fuse the align/compare/count
+        # chain in the Pallas kernel (ops/pallas_verify)
+        from walt_tpu.ops import pallas_verify
+
+        word0 = (wl_gpos >> 4).astype(jnp.int32)
+        sh = ((wl_gpos & 15) << 1).astype(jnp.uint32)  # (M,)
+        widx = word0[:, None] + jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+        slices = jnp.take(pseq, widx, mode="clip")  # (M, W+1)
+        mm, win = pallas_verify.verify_flat(
+            slices, sh, wl_conv, wl_lane, W=W,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        win = packing.window_words(pseq, wl_gpos, W)  # (M, W)
+        d = win ^ wl_conv
+        fold = d | (d >> 1)
+        mm = jnp.sum(
+            jax.lax.population_count(fold & wl_lane),
+            axis=-1,
+            dtype=jnp.int32,
+        )
+
+    wl_rep = jnp.take(repeats, wl_read)
+    for shift, min_rep, posn in pattern.verify_skip:
+        if posn < Lmax:
+            wv = (win[..., posn // 16] >> jnp.uint32(30 - 2 * (posn % 16))) & 3
+            rv = packing.extract_lane(wl_conv, posn)
+            cond = (
+                (wl_shift == shift)
+                & (wl_rep >= min_rep)
+                & (posn < wl_len)
+                & (wv != rv)
+            )
+            mm = mm - cond.astype(jnp.int32)
+
+    wl_keep = wl_valid & ok_head & ok_tail & (mm <= max_mm)
+
+    # --- ordered compaction into the per-read candidate slab ---
+    cnt = jnp.zeros((B,), dtype=jnp.int32).at[wl_read].add(
+        wl_keep.astype(jnp.int32), mode="drop"
+    )
+    base = jnp.cumsum(cnt) - cnt  # kept entries before each read
+    rank = jnp.cumsum(wl_keep.astype(jnp.int32)) - 1
+    dest = rank - jnp.take(base, wl_read)
+    dest = jnp.where(wl_keep, dest, cand_slab)  # dropped by scatter mode
 
     def compact(vals, fill, dtype):
         out = jnp.full((B, cand_slab), fill, dtype=dtype)
-        return out.at[rows, dest].set(
-            vals.reshape(B, S * C).astype(dtype), mode="drop"
-        )
+        return out.at[wl_read, dest].set(vals.astype(dtype), mode="drop")
 
-    seed_tags = jnp.broadcast_to(seed_b, keep.shape)
-    cand_seed = compact(seed_tags, -1, jnp.int8)
-    cand_pos = compact(gpos, 0, jnp.uint32)
+    cand_seed = compact(wl_shift, -1, jnp.int8)
+    cand_pos = compact(wl_gpos, 0, jnp.uint32)
     cand_mm = compact(mm, 0, jnp.int32)
-    cand_cnt = jnp.sum(keep_f, axis=1, dtype=jnp.int32)
+    cand_cnt = cnt
 
     fallback = (
         (
@@ -346,6 +343,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         # seeds (pattern 7 reads > 111bp) need the host path
         | (seed_len > kw + 48)
         | (cand_cnt > cand_slab)
+        | wl_spill
     )
     return cand_seed, cand_pos, cand_mm, jnp.minimum(cand_cnt, cand_slab), fallback
 
@@ -354,18 +352,20 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     jax.jit,
     static_argnames=(
         "pattern_name", "ag_wildcard", "search_bits", "verify_slab",
-        "cand_slab", "seeds",
+        "cand_slab", "seeds", "wl_factor",
     ),
 )
 def map_strand_device(preads, lens, b, max_mm, pseq, counter, index, key_words,
                       start_index, bucket_flagged, *, pattern_name: str,
                       ag_wildcard: bool, search_bits: int,
                       verify_slab: int = VERIFY_SLAB,
-                      cand_slab: int = CAND_SLAB, seeds: tuple | None = None):
+                      cand_slab: int = CAND_SLAB, seeds: tuple | None = None,
+                      wl_factor: int = WL_FACTOR):
     """Single-chip jitted entry over the full (unsharded) table."""
     return map_strand_core(
         preads, lens, b, max_mm, pseq, counter, index, key_words,
         start_index, bucket_flagged, pattern_name=pattern_name,
         ag_wildcard=ag_wildcard, search_bits=search_bits,
         verify_slab=verify_slab, cand_slab=cand_slab, seeds=seeds,
+        wl_factor=wl_factor,
     )

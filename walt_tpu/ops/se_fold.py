@@ -85,7 +85,7 @@ def se_fold(slabs, max_mm, pattern):
     jax.jit,
     static_argnames=(
         "pattern_name", "ag_wildcard", "search_bits", "verify_slab",
-        "cand_slab", "seeds",
+        "cand_slab", "seeds", "wl_factor",
     ),
 )
 def map_single_end_device(preads, lens, b, max_mm, tables, *,
@@ -93,7 +93,8 @@ def map_single_end_device(preads, lens, b, max_mm, tables, *,
                           search_bits: tuple,
                           verify_slab: int = pipeline.VERIFY_SLAB,
                           cand_slab: int = pipeline.CAND_SLAB,
-                          seeds: tuple | None = None):
+                          seeds: tuple | None = None,
+                          wl_factor: int = pipeline.WL_FACTOR):
     """Full SE mapping step: both strand tables -> per-read BestMatch.
 
     ``tables``: tuple of two dicts (keys: pseq, counter, index, key_words,
