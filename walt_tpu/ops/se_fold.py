@@ -33,12 +33,14 @@ def se_fold(slabs, max_mm, pattern):
     mismatch (B,) int32).
     """
     B, C = slabs[0][0].shape
-    idx = jnp.arange(C, dtype=jnp.int32)
     best = jnp.broadcast_to(jnp.asarray(max_mm, jnp.int32), (B,))
     times = jnp.zeros(B, dtype=jnp.int32)
     stored = jnp.zeros(B, dtype=jnp.uint32)  # BestMatch() starts at position 0
     minus = jnp.zeros(B, dtype=bool)
     big = jnp.int32(1 << 30)
+
+    def shift_right(x, d):
+        return jnp.pad(x, ((0, 0), (d, 0)))[:, :C]
 
     for strand_idx, (cand_seed, cand_pos, cand_mm) in enumerate(slabs):
         seed32 = cand_seed.astype(jnp.int32)
@@ -55,22 +57,24 @@ def se_fold(slabs, max_mm, pattern):
             new_best = jnp.where(improve, seg_min, best)
             contrib = mask & (cand_mm == new_best[:, None]) & active[:, None]
 
-            cidx = jnp.where(contrib, idx, -1)
-            last_before = jax.lax.cummax(cidx, axis=1)
-            prev_idx = jnp.concatenate(
-                [jnp.full((B, 1), -1, jnp.int32), last_before[:, :-1]], axis=1
-            )
+            # last contributing position at-or-before each slot, by log-shift
+            # propagation: gather-free (TPU gathers run ~7ns/elem; these are
+            # pure vector selects)
+            v = jnp.where(contrib, cand_pos, jnp.uint32(0))
+            h = contrib
+            d = 1
+            while d < C:
+                v = jnp.where(h, v, shift_right(v, d))
+                h = h | shift_right(h, d)
+                d *= 2
             anchor = jnp.where(improve, _FRESH, stored)
             prev_pos = jnp.where(
-                prev_idx >= 0,
-                jnp.take_along_axis(cand_pos, jnp.maximum(prev_idx, 0), axis=1),
-                anchor[:, None],
+                shift_right(h, 1), shift_right(v, 1), anchor[:, None]
             )
             trans = contrib & (cand_pos != prev_pos)
             tdelta = trans.sum(axis=1, dtype=jnp.int32)
-            has = contrib.any(axis=1)
-            last_idx = C - 1 - jnp.argmax(contrib[:, ::-1], axis=1)
-            last_pos = jnp.take_along_axis(cand_pos, last_idx[:, None], axis=1)[:, 0]
+            has = h[:, -1]
+            last_pos = v[:, -1]
 
             upd = active & has
             times = jnp.where(upd, jnp.where(improve, tdelta, times + tdelta), times)
