@@ -30,6 +30,11 @@ N_BASES = 4_000_000
 # throughput rather than launch latency
 N_READS = 200_000
 READ_LEN = 100
+# batch size chosen so the run is several batches: the driver's software
+# pipeline then hides FASTQ parse, host-fallback replay, and MR emission of
+# neighboring batches under each batch's device time (and 65536 tiles into
+# exactly two full-size device chunks)
+BATCH = 65_536
 
 
 def _prepare():
@@ -71,7 +76,7 @@ def main() -> int:
     # compiled (and the backend's phase heuristics are settled) beforehand
     open(out, "w").close()
     open(out + ".mapstats", "w").close()
-    process_single_end(index, fastq, out, batch_size=N_READS,
+    process_single_end(index, fastq, out, batch_size=BATCH,
                        max_mismatches=6, backend=backend)
 
     # best of 3: this host class freezes the VM for O(seconds) at random,
@@ -81,7 +86,7 @@ def main() -> int:
         open(out, "w").close()
         open(out + ".mapstats", "w").close()
         t0 = time.perf_counter()
-        stat = process_single_end(index, fastq, out, batch_size=N_READS,
+        stat = process_single_end(index, fastq, out, batch_size=BATCH,
                                   max_mismatches=6, backend=backend)
         dt = min(dt, time.perf_counter() - t0)
 

@@ -50,7 +50,7 @@ def _enable_compile_cache():
 class JaxBackend:
     name = "jax"
 
-    def __init__(self, chunk: int = 16384, small_chunk: int = 2048,
+    def __init__(self, chunk: int = 32768, small_chunk: int = 2048,
                  len_pad: int = 16,
                  verify_slab: int = pipeline.VERIFY_SLAB,
                  cand_slab: int = pipeline.CAND_SLAB,
@@ -96,10 +96,11 @@ class JaxBackend:
                 pattern: SeedPattern, chunk: int | None = None):
         """Pack reads and yield fixed-shape (preads, lens) device chunks.
 
-        Two chunk shapes by default (self.chunk and self.small_chunk) so the
-        compile set stays tiny while revisit phases on a few hundred reads
-        do not pay a full-size chunk of device time; tiers with a large
-        verify slab pass an explicit small ``chunk``.
+        A short ladder of chunk shapes (small_chunk, intermediate steps,
+        chunk) keeps the compile set tiny while neither revisit phases on a
+        few hundred reads nor batch tails pay a full-size chunk of (heavily
+        per-op-overhead-bound) device time; tiers with a large verify slab
+        pass an explicit small ``chunk``.
         """
         n = codes.shape[0]
         Lmax = _round_up(max(int(codes.shape[1]), pattern.min_read_len),
@@ -108,12 +109,17 @@ class JaxBackend:
         packed = packing.pack_codes_np(
             np.pad(codes, ((0, 0), (0, Lmax - codes.shape[1])))
         )
+        ladder = [self.small_chunk]
+        while ladder[-1] * 4 < self.chunk:
+            ladder.append(ladder[-1] * 4)
+        ladder.append(self.chunk)
         out = []
         a = 0
         while a < n:
-            c = chunk if chunk is not None else (
-                self.small_chunk if n - a <= self.small_chunk else self.chunk
-            )
+            if chunk is not None:
+                c = chunk
+            else:
+                c = next((s for s in ladder if n - a <= s), self.chunk)
             z = min(a + c, n)
             pc = np.zeros((c, W), dtype=np.uint32)
             pc[: z - a] = packed[a:z]
@@ -192,20 +198,28 @@ class JaxBackend:
             out = run(codes, lens, None, self.verify_slab_t1)
             pos, times, minus, mm, fb = out
         # Tier 2: larger verify slab for reads whose refined run (or
-        # worklist share) overflowed tier 1.
+        # worklist share) overflowed tier 1.  When the overflow set is small
+        # it is CHEAPER to leave it flagged for the driver's exact host
+        # replay: each tier round costs a dispatch+fetch round trip plus a
+        # padded device chunk on the batch's critical path, while the
+        # driver replays fallbacks concurrently with the next batch's
+        # device time (core/single_end.py pipeline), so a few hundred reads
+        # ride along for free.  Flagged-bucket fallbacks end up on the host
+        # either way.
         todo = np.flatnonzero(fb)
-        if todo.size:
+        if todo.size > max(256, n // 128):
             merge(out, todo,
                   run(codes[todo], lens[todo], None, self.verify_slab,
                       wl_factor=3 * self.verify_slab))
-        # Tier 3: highly repetitive reads (runs up to 512, e.g. transposon
-        # prefixes); small chunks keep the padded work bounded.  Whatever
-        # still falls back (flagged buckets, runs > 512) is for the host.
-        todo = np.flatnonzero(fb)
-        if todo.size:
-            merge(out, todo,
-                  run(codes[todo], lens[todo], None, 512, cand_slab=512,
-                      chunk=256, wl_factor=3 * 512))
+            # Tier 3: highly repetitive reads (runs up to 512, e.g.
+            # transposon prefixes); small chunks keep the padded work
+            # bounded.  Whatever still falls back (flagged buckets, runs >
+            # 512) is for the host.
+            todo = np.flatnonzero(fb)
+            if todo.size > max(256, n // 128):
+                merge(out, todo,
+                      run(codes[todo], lens[todo], None, 512, cand_slab=512,
+                          chunk=256, wl_factor=3 * 512))
         self.total_reads += n
         self.fallback_reads += int(fb.sum())
         return pos, times, minus, mm, fb
