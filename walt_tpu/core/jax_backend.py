@@ -50,7 +50,7 @@ def _enable_compile_cache():
 class JaxBackend:
     name = "jax"
 
-    def __init__(self, chunk: int = 32768, small_chunk: int = 2048,
+    def __init__(self, chunk: int = 65536, small_chunk: int = 2048,
                  len_pad: int = 16,
                  verify_slab: int = pipeline.VERIFY_SLAB,
                  cand_slab: int = pipeline.CAND_SLAB,
@@ -155,7 +155,7 @@ class JaxBackend:
                     tuple(devs), pattern_name=pattern.name,
                     ag_wildcard=ag_wildcard, search_bits=tuple(bits),
                     verify_slab=slab, cand_slab=cand_slab or self.cand_slab,
-                    seeds=seeds, wl_factor=wl_factor,
+                    seeds=seeds, wl_factor=wl_factor, exact_b=b < slab,
                 )
                 results.append((a, z, r))
             out = [np.empty(m, t) for t in
@@ -246,7 +246,7 @@ class JaxBackend:
                     pattern_name=pattern.name, ag_wildcard=ag_wildcard,
                     search_bits=dt.max_bucket_bits,
                     verify_slab=slab, cand_slab=C, wl_factor=wl_factor,
-                    **dev,
+                    exact_b=b < slab, **dev,
                 )
                 results.append((a, z, r))
             out = (

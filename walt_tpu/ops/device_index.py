@@ -12,10 +12,11 @@ Semantics note: the reference's lookup compares raw concatenated-genome
 bytes, which cross chromosome boundaries, and its sort order treats
 past-the-chromosome positions specially (reference.cpp:258-288), so raw
 order and sort order can disagree for entries within cared[59] (=178) bases
-of a chromosome end.  Buckets containing such entries are flagged at load
-time and routed to the exact host fallback; everywhere else the raw order is
-monotone and the packed-key equal-range search is exactly the reference's
-refined region.
+of a chromosome end.  Buckets where the stored order is ACTUALLY
+non-monotone are flagged at load time (a 2-bit mask, see
+build_device_table) and routed to the exact host fallback; everywhere else
+the packed-key equal-range search plus the chromosome-fit rejection is
+exactly the reference's refined region.
 """
 
 from __future__ import annotations
@@ -46,7 +47,7 @@ class DeviceTable:
     # (build_key_words_device) -- they are 3x the index's bytes, so host
     # construction + transfer dominates table prep at genome scale
     start_index: np.ndarray  # uint32 (n_chroms + 1,)
-    bucket_flagged: np.ndarray  # bool (4^12,), host-fallback buckets
+    bucket_flagged: np.ndarray  # uint8 bit mask (4^12,): 1=fast, 2=exact_b
     max_bucket_bits: int  # static: iterations for the binary search
     strand: str
 
@@ -113,24 +114,36 @@ def build_device_table(genome: Genome, table: HashTable,
     chrom_id = genome.chrom_id_of(idx)
     remain = genome.start_index.astype(np.int64)[chrom_id + 1] - idx
     short = np.flatnonzero(remain <= int(pattern.cared[-1]))
-    flagged = np.zeros(pattern.n_buckets, dtype=bool)
-    # Entries whose deep cared positions run past the GLOBAL genome end read
-    # the undefined pad region in the reference (and LOOKUP_PAD in the host
-    # oracle, refmap.py:30); no in-window compare can reproduce that, so such
-    # buckets always take the exact host path.  Only the last cared[-1] bases
-    # of the final chromosome qualify.
+    # Two flag tiers, packed as bits (pipeline selects by its static
+    # ``exact_b`` mode):
+    #  bit0 (fast path, b >= verify_slab): buckets whose STORED order is
+    #    actually non-monotone under the device's packed-key model or the
+    #    host oracle's LOOKUP_PAD model -- the lower-bound search is invalid
+    #    there.  Global-end entries themselves need no flag on this path:
+    #    any candidate whose compared cared positions cross the genome end
+    #    also fails the chromosome-fit check (ok_head/ok_tail,
+    #    mapping.cpp:281-286), exactly as the reference's pad byte never
+    #    equals a read base, and the -b cap cannot trigger below the slab.
+    #  bit1 (exact path, b < verify_slab): bit0 plus every bucket holding a
+    #    global-end entry, because there the refined COUNT itself feeds the
+    #    -b cap and the pad model cannot be reproduced in 2-bit words.
+    flagged = np.zeros(pattern.n_buckets, dtype=np.uint8)
     glob_short = np.flatnonzero(
         (genome.length_of_genome - idx) <= int(pattern.cared[-1])
     )
     if glob_short.size:
         flagged[
             np.searchsorted(table.counter, glob_short, side="right") - 1
-        ] = True
+        ] |= 2
     if short.size:
         # monotonicity only matters inside buckets that contain a boundary
         # entry -- a handful per chromosome end -- so key_words are built
         # just for those buckets' entries
         seq = padded_seq(genome, pattern)
+        kw = pattern.key_weight
+        deep = [int(pattern.cared[p])
+                for p in range(kw, min(pattern.cared_size,
+                                       kw + POS_PER_WORD * N_KEY_WORDS))]
         bids = np.unique(
             np.searchsorted(table.counter, short, side="right") - 1
         )
@@ -145,8 +158,19 @@ def build_device_table(genome: Genome, table: HashTable,
                 | ((a[:, 0] == b[:, 0]) & (a[:, 1] > b[:, 1]))
                 | ((a[:, 0] == b[:, 0]) & (a[:, 1] == b[:, 1]) & (a[:, 2] > b[:, 2]))
             )
+            if not desc.any():
+                # the &3-packed model is monotone; also require the oracle's
+                # raw-byte model (pad sorts above every base) to agree, so
+                # the search result equals the oracle's on this bucket
+                ent = table.index[lo:hi].astype(np.int64)
+                raw = seq[ent[:, None] + np.asarray(deep)[None, :]]
+                desc = (raw[:-1] > raw[1:]).astype(np.int8) - (
+                    raw[:-1] < raw[1:]
+                ).astype(np.int8)
+                first = np.argmax(desc != 0, axis=1)
+                desc = desc[np.arange(desc.shape[0]), first] > 0
             if desc.any():
-                flagged[bid] = True
+                flagged[bid] |= 1 | 2
 
     sizes = np.diff(table.counter.astype(np.int64))
     max_bucket = int(sizes.max()) if sizes.size else 1

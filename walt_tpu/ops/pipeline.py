@@ -86,7 +86,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
                     verify_slab: int = VERIFY_SLAB_T1,
                     cand_slab: int = CAND_SLAB,
                     key_base=None, seeds: tuple | None = None,
-                    wl_factor: int = WL_FACTOR):
+                    wl_factor: int = WL_FACTOR, exact_b: bool = False):
     """Map a read batch against one table (trace-level core).
 
     preads: (B, W) uint32 packed read codes; lens: (B,) int32; pseq: packed
@@ -97,6 +97,18 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     tensor-parallel layout of walt_tpu.parallel), the local ``counter`` spans
     buckets [key_base, key_base + counter_size); keys outside it yield empty
     regions on this shard.
+
+    ``exact_b``: membership/refinement strategy (static).  False (the
+    default, valid whenever ``b >= verify_slab``): the lower-bound search
+    and slab admission probe only the FIRST packed key word, and equality
+    of the remaining cared positions is enforced from the verify window
+    with static lane masks -- pure vector compute instead of a second set
+    of scattered HBM gathers.  The word-0 run is a superset of the true
+    refined run, so the overflow promotion stays conservative and the
+    -b cap (which cannot trigger below the slab size) is unaffected.
+    True: the original full-lexicographic formulation, required when the
+    runtime ``b`` is smaller than the verify slab so the refined COUNT
+    itself (mapping.cpp:275-277) must be exact within the slab.
     """
     pattern = get_pattern(pattern_name)
     plen = pattern.pattern_len
@@ -142,17 +154,20 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     # --- seed hash keys: (B, S) ---
     key = pack16(cvals[..., :kw])
 
+    # bucket_flagged is a per-bucket bit mask: bit0 = host-fallback in the
+    # fast path, bit1 = host-fallback in the exact_b path (device_index)
+    fbit = jnp.uint8(2 if exact_b else 1)
     if key_base is None:
         lo = jnp.take(counter, key).astype(jnp.int32)  # (B, S)
         hi = jnp.take(counter, key + 1).astype(jnp.int32)
-        flagged = jnp.take(bucket_flagged, key)  # (B, S)
+        flagged = (jnp.take(bucket_flagged, key) & fbit) != 0  # (B, S)
     else:
         local = key - jnp.uint32(key_base)  # wraps below base -> large
         in_range = local < jnp.uint32(counter.shape[0] - 1)
         lidx = jnp.where(in_range, local, 0).astype(jnp.int32)
         lo = jnp.where(in_range, jnp.take(counter, lidx).astype(jnp.int32), 0)
         hi = jnp.where(in_range, jnp.take(counter, lidx + 1).astype(jnp.int32), 0)
-        flagged = in_range & jnp.take(bucket_flagged, lidx)
+        flagged = in_range & ((jnp.take(bucket_flagged, lidx) & fbit) != 0)
 
     # --- read prefix key words (cared[kw..kw+47] per shift) + masks ---
     # words actually probed: reads fitting W packed words cannot have a
@@ -183,10 +198,15 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
 
     kws = [key_words[:, w] for w in range(npw)]
 
+    # number of key words probed by the search and the slab admission; the
+    # fast path defers words beyond the first to the window cared check
+    nprobe = npw if exact_b else 1
+
     def probe(mid):
         midc = jnp.clip(mid, 0, n_entries - 1)
-        es = [jnp.take(kw_, midc) & m for kw_, m in zip(kws, masks)]
-        return _lex_ge(es, rws)
+        es = [jnp.take(kw_, midc) & m
+              for kw_, m in zip(kws[:nprobe], masks[:nprobe])]
+        return _lex_ge(es, rws[:nprobe])
 
     def body(_, lr):
         l, r = lr
@@ -212,7 +232,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     slot = lower[:, :, None] + j[None, None, :]
     slotc = jnp.clip(slot, 0, n_entries - 1)
     refined = in_bucket
-    for kw_, m, rw in zip(kws, masks, rws):
+    for kw_, m, rw in zip(kws[:nprobe], masks[:nprobe], rws[:nprobe]):
         es = jnp.take(kw_, slotc) & m[:, :, None]
         refined = refined & (es == rw[:, :, None])
 
@@ -313,6 +333,47 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
 
     wl_keep = wl_valid & ok_head & ok_tail & (mm <= max_mm)
 
+    if not exact_b and npw > 1:
+        # Window cared check: a fast-path worklist row is only known to
+        # match the read on the hash key + the first packed key word; the
+        # reference's refined region additionally requires equality at the
+        # remaining cared positions kw+16..seed_len-1 (mapping.cpp:198-222).
+        # Those bases sit inside the verify window already in registers, so
+        # the check is an AND of the existing XOR-fold against (a) a static
+        # per-shift cared-lane mask and (b) a per-row cutoff mask at
+        # cared[seed_len] -- no extra HBM traffic.
+        cared_np = np.zeros((S, W), dtype=np.uint32)
+        for si, s in enumerate(seeds):
+            for jj in range(kw + 16, n_cared):
+                p = int(cared[jj]) + s
+                if p < Lmax:
+                    cared_np[si, p // 16] |= np.uint32(1) << np.uint32(
+                        30 - 2 * (p % 16)
+                    )
+        d2 = win ^ wl_conv
+        fold2 = (d2 | (d2 >> 1)) & wl_lane
+        # cared[j] is periodic-affine: (j // cw) * plen + cared[j % cw]
+        cwt = pattern.cared_weight
+        assert all(
+            int(cared[j]) == (j // cwt) * plen + int(cared[j % cwt])
+            for j in range(n_cared)
+        ), "cared table is not periodic-affine; exact_b path required"
+        slj = jnp.minimum(wl_rep * cwt, n_cared)  # (M,) seed_len per row
+        offv = jnp.full_like(slj, int(cared[0]))
+        for r_ in range(1, cwt):
+            offv = jnp.where(slj % cwt == r_, int(cared[r_]), offv)
+        cutoff = (slj // cwt) * plen + offv + wl_shift
+        cut_mask = packing.len_lane_masks(cutoff, W)  # lanes < cutoff
+        viol = jnp.zeros((M,), dtype=jnp.uint32)
+        for w in range(W):
+            cmw = jnp.full((M,), cared_np[S - 1, w], dtype=jnp.uint32)
+            for si in range(S - 2, -1, -1):
+                cmw = jnp.where(
+                    wl_seedi == si, jnp.uint32(cared_np[si, w]), cmw
+                )
+            viol = viol | (fold2[:, w] & cmw & cut_mask[:, w])
+        wl_keep = wl_keep & (viol == 0)
+
     # --- ordered compaction into the per-read candidate slab ---
     cnt = jnp.zeros((B,), dtype=jnp.int32).at[wl_read].add(
         wl_keep.astype(jnp.int32), mode="drop"
@@ -352,7 +413,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     jax.jit,
     static_argnames=(
         "pattern_name", "ag_wildcard", "search_bits", "verify_slab",
-        "cand_slab", "seeds", "wl_factor",
+        "cand_slab", "seeds", "wl_factor", "exact_b",
     ),
 )
 def map_strand_device(preads, lens, b, max_mm, pseq, counter, index, key_words,
@@ -360,12 +421,12 @@ def map_strand_device(preads, lens, b, max_mm, pseq, counter, index, key_words,
                       ag_wildcard: bool, search_bits: int,
                       verify_slab: int = VERIFY_SLAB,
                       cand_slab: int = CAND_SLAB, seeds: tuple | None = None,
-                      wl_factor: int = WL_FACTOR):
+                      wl_factor: int = WL_FACTOR, exact_b: bool = False):
     """Single-chip jitted entry over the full (unsharded) table."""
     return map_strand_core(
         preads, lens, b, max_mm, pseq, counter, index, key_words,
         start_index, bucket_flagged, pattern_name=pattern_name,
         ag_wildcard=ag_wildcard, search_bits=search_bits,
         verify_slab=verify_slab, cand_slab=cand_slab, seeds=seeds,
-        wl_factor=wl_factor,
+        wl_factor=wl_factor, exact_b=exact_b,
     )

@@ -89,7 +89,7 @@ def se_fold(slabs, max_mm, pattern):
     jax.jit,
     static_argnames=(
         "pattern_name", "ag_wildcard", "search_bits", "verify_slab",
-        "cand_slab", "seeds", "wl_factor",
+        "cand_slab", "seeds", "wl_factor", "exact_b",
     ),
 )
 def map_single_end_device(preads, lens, b, max_mm, tables, *,
@@ -98,7 +98,8 @@ def map_single_end_device(preads, lens, b, max_mm, tables, *,
                           verify_slab: int = pipeline.VERIFY_SLAB,
                           cand_slab: int = pipeline.CAND_SLAB,
                           seeds: tuple | None = None,
-                          wl_factor: int = pipeline.WL_FACTOR):
+                          wl_factor: int = pipeline.WL_FACTOR,
+                          exact_b: bool = False):
     """Full SE mapping step: both strand tables -> per-read BestMatch.
 
     ``tables``: tuple of two dicts (keys: pseq, counter, index, key_words,
@@ -117,7 +118,7 @@ def map_single_end_device(preads, lens, b, max_mm, tables, *,
             t["key_words"], t["start_index"], t["bucket_flagged"],
             pattern_name=pattern_name, ag_wildcard=ag_wildcard,
             search_bits=bits, verify_slab=verify_slab, cand_slab=cand_slab,
-            seeds=seeds,
+            seeds=seeds, wl_factor=wl_factor, exact_b=exact_b,
         )
         slabs.append((cs, cp, cm))
         fallback = fb if fallback is None else (fallback | fb)

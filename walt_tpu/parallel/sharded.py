@@ -35,7 +35,7 @@ class ShardedTables:
     counter: np.ndarray  # uint32 (T, nb/T + 1) localized CSR offsets
     index: np.ndarray  # uint32 (T, max_len) padded position slices
     key_words: np.ndarray  # uint32 (T, max_len, 3)
-    bucket_flagged: np.ndarray  # bool (T, nb/T)
+    bucket_flagged: np.ndarray  # uint8 bit mask (T, nb/T)
     pseq: np.ndarray  # uint32, replicated packed converted genome words
     start_index: np.ndarray  # uint32, replicated
     max_bucket_bits: int
