@@ -68,6 +68,12 @@ class JaxBackend:
         # mismatches (the reference's early exit, mapping.cpp:248-263); decides
         # whether a dedicated seed-0 phase pays for itself on this workload
         self._seed0_rate = None
+        # tier-1 worklist slots per read: every worklist-sized op (window
+        # gather, read-row gather, compaction scatter) scales with it, and
+        # typical occupancy is <1 row/read, so start tight and escalate for
+        # workloads that actually spill (spilled reads stay correct -- they
+        # ride the tier/host fallback -- it is purely a throughput knob)
+        self._wl1 = 2
         _enable_compile_cache()
 
     def _device_table(self, genome: Genome, table: HashTable,
@@ -182,7 +188,8 @@ class JaxBackend:
         # ~80% of mapped reads resolve at seed 0, Table S13; for high-error
         # input it is pure overhead), so the observed resolve rate decides.
         if self._seed0_rate is None or self._seed0_rate >= 0.5:
-            out = run(codes, lens, (0,), self.verify_slab_t1)
+            out = run(codes, lens, (0,), self.verify_slab_t1,
+                      wl_factor=self._wl1)
             pos, times, minus, mm, fb = out
             resolved = (mm == 0) & ~fb
             rate = float(resolved.mean()) if n else 1.0
@@ -193,10 +200,15 @@ class JaxBackend:
             todo = np.flatnonzero(~resolved)
             if todo.size:
                 merge(out, todo,
-                      run(codes[todo], lens[todo], None, self.verify_slab_t1))
+                      run(codes[todo], lens[todo], None, self.verify_slab_t1,
+                          wl_factor=self._wl1))
         else:
-            out = run(codes, lens, None, self.verify_slab_t1)
+            out = run(codes, lens, None, self.verify_slab_t1,
+                      wl_factor=self._wl1)
             pos, times, minus, mm, fb = out
+        if self._wl1 < pipeline.WL_FACTOR and n and fb.mean() > 0.05:
+            # dense-candidate workload: widen future batches' worklists
+            self._wl1 = pipeline.WL_FACTOR
         # Tier 2: larger verify slab for reads whose refined run (or
         # worklist share) overflowed tier 1.  When the overflow set is small
         # it is CHEAPER to leave it flagged for the driver's exact host
