@@ -68,6 +68,64 @@ def test_sharded_matches_single_device(mesh8):
     assert int(ref[3][ok].sum()) > 0
 
 
+def _run_se(index, fastq, out, backend, **kw):
+    from walt_tpu.core.single_end import process_single_end
+
+    open(out, "w").close()
+    open(out + ".mapstats", "w").close()
+    process_single_end(index, fastq, out, backend=backend, **kw)
+    return open(out, "rb").read(), open(out + ".mapstats", "rb").read()
+
+
+def test_mesh_backend_se_end_to_end(mesh8, my_index, se_fastq, tmp_path):
+    """The production JaxBackend on a dp=4 x tp=2 mesh writes the same bytes
+    as the single-device backend (itself golden-tested vs the reference)."""
+    from walt_tpu.core.jax_backend import JaxBackend
+
+    single = _run_se(my_index, se_fastq, str(tmp_path / "s.mr"), JaxBackend(),
+                     batch_size=64, ambiguous=True, unmapped=True)
+    mesh = _run_se(my_index, se_fastq, str(tmp_path / "m.mr"),
+                   JaxBackend(mesh=mesh8), batch_size=64, ambiguous=True,
+                   unmapped=True)
+    assert single == mesh
+    for suf in ("_ambiguous", "_unmapped"):
+        assert (tmp_path / ("s.mr" + suf)).read_bytes() == (
+            tmp_path / ("m.mr" + suf)
+        ).read_bytes()
+
+
+def test_mesh_backend_pe_end_to_end(mesh8, my_index, pe_fastq, tmp_path):
+    from walt_tpu.core.jax_backend import JaxBackend
+    from walt_tpu.core.paired_end import process_paired_end
+
+    outs = []
+    for tag, backend in (("s", JaxBackend()), ("m", JaxBackend(mesh=mesh8))):
+        out = str(tmp_path / f"{tag}.mr")
+        open(out, "w").close()
+        open(out + ".mapstats", "w").close()
+        process_paired_end(my_index, pe_fastq[0], pe_fastq[1], out,
+                           batch_size=64, sam=True, backend=backend)
+        outs.append((open(out, "rb").read(),
+                     open(out + ".mapstats", "rb").read()))
+    assert outs[0] == outs[1]
+
+
+def test_host_threads_se_identical(my_index, se_fastq, tmp_path):
+    """-t threads: the threaded fallback/oracle path is byte-identical."""
+    from walt_tpu.core.backends import get_backend
+    from walt_tpu.host import replay
+
+    one = _run_se(my_index, se_fastq, str(tmp_path / "t1.mr"),
+                  get_backend("numpy"), batch_size=64)
+    replay.set_host_threads(4)
+    try:
+        four = _run_se(my_index, se_fastq, str(tmp_path / "t4.mr"),
+                       get_backend("numpy"), batch_size=64)
+    finally:
+        replay.set_host_threads(1)
+    assert one == four
+
+
 def test_shard_device_table_roundtrip():
     from walt_tpu.parallel import shard_device_table
     from walt_tpu.synth import build_synthetic_table

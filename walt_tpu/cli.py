@@ -115,10 +115,15 @@ def build_map_parser() -> argparse.ArgumentParser:
     a("-sam", "--sam", dest="sam", action="store_true", help="output SAM format")
     a("-v", "-verbose", "--verbose", dest="verbose", action="store_true")
     a("-t", "-thread", "--thread", dest="threads", type=int, default=1,
-      help="accepted for WALT compatibility (parallelism is the device mesh)")
+      help="host-side worker threads for the exact fallback/oracle paths "
+           "(device parallelism is the mesh; walt.cpp:165-166 analog)")
     # TPU-native extensions
     a("--backend", default="jax", choices=("jax", "numpy"),
       help="candidate enumeration backend (jax=TPU, numpy=host oracle)")
+    a("--tp", dest="tp", type=int, default=1,
+      help="table-parallel ways: shard the CSR hash table by bucket-key "
+           "range over tp devices (for indexes larger than one chip's HBM); "
+           "remaining devices map reads data-parallel")
     a("--seed-pattern", default="3", choices=("3", "5", "7"),
       help="spaced seed pattern (reference compile-time -D SEEDPATTERN*)")
     a("--resume", dest="resume", action="store_true",
@@ -202,13 +207,28 @@ def main_map(argv=None) -> int:
     from walt_tpu.hostmem import prefault
 
     prefault()  # batch-populate the heap before the large-array pipeline
-    backend = get_backend(args.backend)
+    # the jax backend spans every visible device as a ('dp','tp') mesh --
+    # the production multi-chip path (OpenMP fan-out analog, mapping.cpp:494)
+    backend = (
+        get_backend("jax", mesh="auto", tp=args.tp)
+        if args.backend == "jax" else get_backend(args.backend)
+    )
+    if args.threads > 1:
+        from walt_tpu.host import replay as _replay
+
+        _replay.set_host_threads(args.threads)
 
     oi = 0
     from walt_tpu.core.single_end import process_single_end
 
     def _tag(i):
         return f".run{i}" if (args.resume and shared_output) else ""
+
+    def _fresh(b):
+        # per-file reset: file N's phase schedule must not depend on file N-1
+        if hasattr(b, "reset_adaptive"):
+            b.reset_adaptive()
+        return b
 
     for f in se_files:
         if oi % nproc == pid:
@@ -218,7 +238,7 @@ def main_map(argv=None) -> int:
                 adaptor=args.adaptor,
                 ag_wildcard=args.ag_wildcard or args.pbat,
                 ambiguous=args.ambiguous,
-                unmapped=args.unmapped, sam=args.sam, backend=backend,
+                unmapped=args.unmapped, sam=args.sam, backend=_fresh(backend),
                 pattern_name=args.seed_pattern, verbose=args.verbose,
                 resume=args.resume, ckpt_tag=_tag(oi),
             )
@@ -234,7 +254,7 @@ def main_map(argv=None) -> int:
                 adaptor=args.adaptor,
                 top_k=args.top_k, frag_range=args.fraglen,
                 ambiguous=args.ambiguous, unmapped=args.unmapped, sam=args.sam,
-                backend=backend, pattern_name=args.seed_pattern,
+                backend=_fresh(backend), pattern_name=args.seed_pattern,
                 verbose=args.verbose, pbat=args.pbat,
                 resume=args.resume, ckpt_tag=_tag(oi),
             )

@@ -28,26 +28,26 @@ class NumpyBackend:
     def map_strand(self, codes: np.ndarray, lens: np.ndarray, genome: Genome,
                    table: HashTable, ag_wildcard: bool, b: int,
                    max_mismatches: int, pattern: SeedPattern) -> list:
+        from walt_tpu.host import replay
+
         seq_padded = refmap.padded_seq(genome, pattern)
-        out = []
-        for i in range(codes.shape[0]):
-            read = codes[i, : int(lens[i])]
-            out.append(
-                list(
-                    refmap.enumerate_candidates(
-                        read, genome, table, ag_wildcard, b, max_mismatches,
-                        pattern, seq_padded=seq_padded,
-                    )
+
+        def one(i):
+            return list(
+                refmap.enumerate_candidates(
+                    codes[i, : int(lens[i])], genome, table, ag_wildcard, b,
+                    max_mismatches, pattern, seq_padded=seq_padded,
                 )
             )
-        return out
+
+        return replay.host_map(one, range(codes.shape[0]))
 
 
-def get_backend(name: str):
+def get_backend(name: str, **kwargs):
     if name == "numpy":
         return NumpyBackend()
     if name == "jax":
         from walt_tpu.core.jax_backend import JaxBackend
 
-        return JaxBackend()
+        return JaxBackend(**kwargs)
     raise ValueError(f"unknown backend {name!r}")

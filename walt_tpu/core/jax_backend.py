@@ -54,16 +54,43 @@ class JaxBackend:
                  len_pad: int = 16,
                  verify_slab: int = pipeline.VERIFY_SLAB,
                  cand_slab: int = pipeline.CAND_SLAB,
-                 verify_slab_t1: int = pipeline.VERIFY_SLAB_T1):
+                 verify_slab_t1: int = pipeline.VERIFY_SLAB_T1,
+                 mesh=None, tp: int | None = None):
+        """``mesh``: a ('dp','tp') jax Mesh, the string 'auto' (all visible
+        devices, ``tp``-way table sharding), or None (single default device).
+        With a mesh, every batch runs through the sharded multi-chip
+        pipeline (walt_tpu.parallel.sharded) -- the production replacement
+        for the reference's OpenMP read fan-out (mapping.cpp:477-499)."""
         self.chunk = chunk
         self.small_chunk = small_chunk
         self.len_pad = len_pad
         self.verify_slab = verify_slab
         self.cand_slab = cand_slab
         self.verify_slab_t1 = verify_slab_t1
+        if mesh == "auto":
+            import jax
+
+            from walt_tpu.parallel import make_mesh
+
+            devs = jax.devices()
+            mesh = make_mesh(devs, tp=tp or 1) if len(devs) > 1 else None
+        self.mesh = mesh
+        self._dp = int(mesh.shape["dp"]) if mesh is not None else 1
+        self._tp = int(mesh.shape["tp"]) if mesh is not None else 1
         self._tables = {}
         self.fallback_reads = 0
         self.total_reads = 0
+        self.reset_adaptive()
+        _enable_compile_cache()
+
+    def reset_adaptive(self):
+        """Reset the per-workload throughput heuristics.
+
+        The CLI calls this between input files so file N's phase schedule /
+        worklist sizing never depends on file N-1's error profile (the
+        mapped BYTES are identical either way; only device-time allocation
+        adapts).
+        """
         # measured fraction of reads whose best hit resolves at seed 0 with 0
         # mismatches (the reference's early exit, mapping.cpp:248-263); decides
         # whether a dedicated seed-0 phase pays for itself on this workload
@@ -74,29 +101,51 @@ class JaxBackend:
         # workloads that actually spill (spilled reads stay correct -- they
         # ride the tier/host fallback -- it is purely a throughput knob)
         self._wl1 = 2
-        _enable_compile_cache()
 
     def _device_table(self, genome: Genome, table: HashTable,
-                      pattern: SeedPattern):
+                      pattern: SeedPattern, n_key_words: int = 1):
+        """``n_key_words``: packed lookup key words the run needs on device.
+        1 suffices for every run whose -b is at least the largest verify
+        slab (the exact_b path is then never taken); callers with a smaller
+        -b ask for 3 and an existing 1-word table is rebuilt."""
         key = (id(genome), id(table), pattern.name)
+        got = self._tables.get(key)
+        if got is not None and got[1]["key_words"].shape[-1] < n_key_words:
+            del self._tables[key]  # rebuild with the deeper key words
         if key not in self._tables:
-            from walt_tpu.ops.device_index import build_key_words_device
+            if self.mesh is not None:
+                from walt_tpu.parallel import (
+                    place_sharded_table, shard_device_table,
+                )
 
-            dt = build_device_table(genome, table, pattern)
-            dev = dict(
-                pseq=jnp.asarray(dt.pseq),
-                counter=jnp.asarray(dt.counter),
-                index=jnp.asarray(dt.index),
-                start_index=jnp.asarray(dt.start_index),
-                bucket_flagged=jnp.asarray(dt.bucket_flagged),
-            )
-            # packed lookup keys from the uploaded genome: saves the
-            # 48-gather host pass and a 12-bytes/entry transfer
-            dev["key_words"] = build_key_words_device(
-                dev["pseq"], dt.index, pattern
-            )
+                dt = build_device_table(genome, table, pattern,
+                                        with_key_words=True)
+                dev = place_sharded_table(
+                    shard_device_table(dt, self._tp), self.mesh
+                )
+                dt.key_words = None  # free the host copy (3x index bytes)
+            else:
+                from walt_tpu.ops.device_index import build_key_words_device
+
+                dt = build_device_table(genome, table, pattern)
+                dev = dict(
+                    pseq=jnp.asarray(dt.pseq),
+                    counter=jnp.asarray(dt.counter),
+                    index=jnp.asarray(dt.index),
+                    start_index=jnp.asarray(dt.start_index),
+                    bucket_flagged=jnp.asarray(dt.bucket_flagged),
+                )
+                # packed lookup keys from the uploaded genome: saves the
+                # 48-gather host pass and a 12-bytes/entry transfer
+                dev["key_words"] = build_key_words_device(
+                    dev["pseq"], dt.index, pattern, n_key_words=n_key_words
+                )
             self._tables[key] = (dt, dev)
         return self._tables[key]
+
+    def _needed_key_words(self, b: int) -> int:
+        """1 word when no tier can take the exact_b path, else all 3."""
+        return 1 if b >= max(512, self.verify_slab, self.verify_slab_t1) else 3
 
     def _chunks(self, codes: np.ndarray, lens: np.ndarray,
                 pattern: SeedPattern, chunk: int | None = None):
@@ -119,19 +168,32 @@ class JaxBackend:
         while ladder[-1] * 4 < self.chunk:
             ladder.append(ladder[-1] * 4)
         ladder.append(self.chunk)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            import jax
+
+            # chunk shapes must tile the dp axis
+            ladder = [_round_up(c, self._dp) for c in ladder]
+            shard_r = NamedSharding(self.mesh, P("dp", None))
+            shard_l = NamedSharding(self.mesh, P("dp"))
+            put = jax.device_put
         out = []
         a = 0
         while a < n:
             if chunk is not None:
-                c = chunk
+                c = _round_up(chunk, self._dp)
             else:
-                c = next((s for s in ladder if n - a <= s), self.chunk)
+                c = next((s for s in ladder if n - a <= s), ladder[-1])
             z = min(a + c, n)
             pc = np.zeros((c, W), dtype=np.uint32)
             pc[: z - a] = packed[a:z]
             pl = np.zeros(c, dtype=np.int32)
             pl[: z - a] = lens[a:z]
-            out.append((a, z, jnp.asarray(pc), jnp.asarray(pl)))
+            if self.mesh is not None:
+                out.append((a, z, put(pc, shard_r), put(pl, shard_l)))
+            else:
+                out.append((a, z, jnp.asarray(pc), jnp.asarray(pl)))
             a = z
         return out
 
@@ -146,8 +208,9 @@ class JaxBackend:
         """
         n = codes.shape[0]
         devs, bits = [], []
+        nkw = self._needed_key_words(b)
         for g, ht in tables:
-            dt, dev = self._device_table(g, ht, pattern)
+            dt, dev = self._device_table(g, ht, pattern, nkw)
             devs.append(dev)
             bits.append(dt.max_bucket_bits)
 
@@ -156,13 +219,26 @@ class JaxBackend:
             m = codes_.shape[0]
             results = []
             for a, z, pc, pl in self._chunks(codes_, lens_, pattern, chunk):
-                r = se_fold.map_single_end_device(
-                    pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
-                    tuple(devs), pattern_name=pattern.name,
-                    ag_wildcard=ag_wildcard, search_bits=tuple(bits),
-                    verify_slab=slab, cand_slab=cand_slab or self.cand_slab,
-                    seeds=seeds, wl_factor=wl_factor, exact_b=b < slab,
-                )
+                if self.mesh is not None:
+                    from walt_tpu.parallel import map_single_end_sharded
+
+                    r = map_single_end_sharded(
+                        pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
+                        tuple(devs), mesh=self.mesh,
+                        pattern_name=pattern.name, ag_wildcard=ag_wildcard,
+                        search_bits=tuple(bits), verify_slab=slab,
+                        cand_slab=cand_slab or self.cand_slab, seeds=seeds,
+                        wl_factor=wl_factor, exact_b=b < slab,
+                    )
+                else:
+                    r = se_fold.map_single_end_device(
+                        pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
+                        tuple(devs), pattern_name=pattern.name,
+                        ag_wildcard=ag_wildcard, search_bits=tuple(bits),
+                        verify_slab=slab,
+                        cand_slab=cand_slab or self.cand_slab,
+                        seeds=seeds, wl_factor=wl_factor, exact_b=b < slab,
+                    )
                 results.append((a, z, r))
             out = [np.empty(m, t) for t in
                    (np.uint32, np.int32, bool, np.int32, bool)]
@@ -245,7 +321,8 @@ class JaxBackend:
         cand_mm (n,C) int32, cand_cnt (n,) int32, fallback (n,) bool).
         """
         n = codes.shape[0]
-        dt, dev = self._device_table(genome, table, pattern)
+        dt, dev = self._device_table(genome, table, pattern,
+                                     self._needed_key_words(b))
         C = self.cand_slab
 
         def run(codes_, lens_, slab, chunk=None,
@@ -253,13 +330,26 @@ class JaxBackend:
             m = codes_.shape[0]
             results = []
             for a, z, pc, pl in self._chunks(codes_, lens_, pattern, chunk):
-                r = pipeline.map_strand_device(
-                    pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
-                    pattern_name=pattern.name, ag_wildcard=ag_wildcard,
-                    search_bits=dt.max_bucket_bits,
-                    verify_slab=slab, cand_slab=C, wl_factor=wl_factor,
-                    exact_b=b < slab, **dev,
-                )
+                if self.mesh is not None:
+                    from walt_tpu.parallel import map_strand_sharded
+
+                    r = map_strand_sharded(
+                        pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
+                        dev["key_base"], dev["counter"], dev["index"],
+                        dev["key_words"], dev["bucket_flagged"], dev["pseq"],
+                        dev["start_index"], mesh=self.mesh,
+                        pattern_name=pattern.name, ag_wildcard=ag_wildcard,
+                        search_bits=dt.max_bucket_bits, verify_slab=slab,
+                        cand_slab=C, wl_factor=wl_factor, exact_b=b < slab,
+                    )
+                else:
+                    r = pipeline.map_strand_device(
+                        pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
+                        pattern_name=pattern.name, ag_wildcard=ag_wildcard,
+                        search_bits=dt.max_bucket_bits,
+                        verify_slab=slab, cand_slab=C, wl_factor=wl_factor,
+                        exact_b=b < slab, **dev,
+                    )
                 results.append((a, z, r))
             out = (
                 np.empty((m, C), dtype=np.int8),

@@ -339,24 +339,34 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                 top_k, frag_range, max_mismatches, pattern.exit1_seed,
             )
             from walt_tpu.core import refmap
+            from walt_tpu.host import replay as _replay
 
             codes1, _ = b1.packed()
             codes2, _ = b2.packed()
+
+            def replay_fb(j):
+                # exact host path for pairs whose streams were truncated
+                rk = []
+                for pi, codes_ in ((0, codes1), (1, codes2)):
+                    rk.append(replay_paired_topk(
+                        [
+                            (strand, refmap.enumerate_candidates(
+                                codes_[j, : int(lens_by_mate[pi][j])],
+                                g, ht, (pi == 1) != pbat, b,
+                                max_mismatches, pattern))
+                            for (g, ht), strand in zip(tables[pi], strands)
+                        ],
+                        max_mismatches, top_k, pattern,
+                    ))
+                return rk
+
+            fb_idx = np.flatnonzero(fb_any)
+            fb_ranked = dict(
+                zip(fb_idx, _replay.host_map(replay_fb, fb_idx))
+            )
             for j in range(n0):
                 if fb_any[j]:
-                    # exact host path for pairs whose streams were truncated
-                    rk = []
-                    for pi, codes_ in ((0, codes1), (1, codes2)):
-                        rk.append(replay_paired_topk(
-                            [
-                                (strand, refmap.enumerate_candidates(
-                                    codes_[j, : int(lens_by_mate[pi][j])],
-                                    g, ht, (pi == 1) != pbat, b,
-                                    max_mismatches, pattern))
-                                for (g, ht), strand in zip(tables[pi], strands)
-                            ],
-                            max_mismatches, top_k, pattern,
-                        ))
+                    rk = fb_ranked[j]
                     merge_pair(
                         genome_meta, rk[0], rk[1], b1.names[j],
                         b1.seqs[j], b1.quals[j], b2.seqs[j], b2.quals[j],

@@ -16,6 +16,7 @@ from walt_tpu.constants import get_pattern
 from walt_tpu.core import refmap
 from walt_tpu.host import emit
 from walt_tpu.host.fastq import FgetsLines, load_batch
+from walt_tpu.host import replay
 from walt_tpu.host.replay import BestMatch, replay_single
 from walt_tpu.host.resume import Checkpoint, skip_reads
 from walt_tpu.index import io_walt
@@ -108,8 +109,9 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
 
         def emit_batch(batch, mapped):
             codes, lens, v_pos, v_times, v_minus, v_mm, fb_any = mapped
-            for i in np.flatnonzero(fb_any):
-                bm = replay_single(
+
+            def replay_one(i):
+                return replay_single(
                     [
                         (strand, refmap.enumerate_candidates(
                             codes[i, : int(lens[i])], g, ht, ag_wildcard, b,
@@ -119,6 +121,9 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
                     max_mismatches,
                     pattern,
                 )
+
+            todo = np.flatnonzero(fb_any)
+            for i, bm in zip(todo, replay.host_map(replay_one, todo)):
                 v_pos[i] = bm.genome_pos
                 v_times[i] = bm.times
                 v_minus[i] = bm.strand == "-"

@@ -33,6 +33,40 @@ from walt_tpu.host.heap import TopCandidates
 
 UINT32_MAX = 0xFFFFFFFF
 
+#: host-side worker threads for the exact fallback/oracle paths; the -t flag
+#: maps here (the reference's OpenMP thread count, walt.cpp:165-166).  Device
+#: parallelism is the mesh; this only keeps a fallback spike (repeat-heavy
+#: reads the fixed device shapes cannot hold) from serializing the pipeline.
+_host_threads = 1
+_pool = None
+
+
+def set_host_threads(n: int) -> None:
+    global _host_threads, _pool
+    n = max(1, int(n))
+    if n != _host_threads and _pool is not None:
+        _pool.shutdown(wait=False)
+        _pool = None
+    _host_threads = n
+
+
+def host_map(fn, items):
+    """Map ``fn`` over ``items`` on the -t thread pool, preserving order.
+
+    The per-item work is NumPy-heavy (refmap window gathers release the
+    GIL), so threads overlap it; results come back in input order so the
+    sequential emission semantics are untouched.
+    """
+    global _pool
+    items = list(items)
+    if _host_threads <= 1 or len(items) <= 1:
+        return [fn(x) for x in items]
+    if _pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _pool = ThreadPoolExecutor(_host_threads)
+    return list(_pool.map(fn, items))
+
 
 @dataclasses.dataclass
 class BestMatch:

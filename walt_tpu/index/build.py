@@ -225,7 +225,7 @@ CONVERSIONS = ("CT00", "CT01", "GA10", "GA11")
 
 
 def build_all_tables(chrom_files, pattern: SeedPattern | None = None, seed: int = 0,
-                     verbose: bool = True):
+                     verbose: bool = True, threads: int | None = None):
     """Build all four tables (makedb.cpp:144-155).
 
     Returns (plain Genome, dict conversion -> (converted Genome, HashTable)).
@@ -233,15 +233,32 @@ def build_all_tables(chrom_files, pattern: SeedPattern | None = None, seed: int 
     rand() stream across reads); we read once with a fixed seed -- N-base
     randomization of the *genome* is irreproducible in the reference anyway
     (time-seeded, makedb.cpp:88).
+
+    The four conversions are independent, so they build on a thread pool
+    (``threads``, default one per core up to 4): the heavy steps -- NumPy
+    radix argsort, gathers, and the native std::sort (a ctypes call) -- all
+    release the GIL.  The reference builds them serially (makedb is
+    single-threaded); each table's CONTENT is order-independent.
     """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     from walt_tpu.glibc_rand import GlibcRand
 
     genome = load_genome(chrom_files, GlibcRand(seed))
-    tables = {}
-    for conv in CONVERSIONS:
+    if threads is None:
+        threads = max(1, min(4, os.cpu_count() or 1))
+
+    def one(conv):
         if verbose:
             strand = "REVERSE" if conv.endswith("1") else "FORWARD"
             kind = "C->T" if conv.startswith("CT") else "G->A"
             print(f"[BUILD INDEX FOR {strand} STRAND ({kind})]", file=sys.stderr)
-        tables[conv] = build_table(genome, conv, pattern, verbose=verbose)
-    return genome, tables
+        return build_table(genome, conv, pattern, verbose=verbose)
+
+    if threads <= 1:
+        built = [one(conv) for conv in CONVERSIONS]
+    else:
+        with ThreadPoolExecutor(threads) as ex:
+            built = list(ex.map(one, CONVERSIONS))
+    return genome, dict(zip(CONVERSIONS, built))

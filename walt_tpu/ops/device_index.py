@@ -194,13 +194,20 @@ def build_device_table(genome: Genome, table: HashTable,
 
 
 def build_key_words_device(pseq_dev, index_np: np.ndarray,
-                           pattern: SeedPattern, chunk: int = 1 << 22):
-    """(n, 3) uint32 packed lookup keys, computed on device.
+                           pattern: SeedPattern, chunk: int = 1 << 22,
+                           n_key_words: int = N_KEY_WORDS):
+    """(n, n_key_words) uint32 packed lookup keys, computed on device.
 
     Gathers a (chunk, n_win)-word window per entry from the packed converted
     genome (zero tail past the genome end == the &3-masked pad of
     :func:`pack_key_words`) and extracts cared positions [kw, kw+48) with
     static shifts.  Returns a device array.
+
+    ``n_key_words``: how many packed words to store.  The fast mapping path
+    (exact_b=False, i.e. every run whose -b exceeds the verify slabs) only
+    probes word 0 -- the remaining cared positions are checked from the
+    verify window -- so genome-scale tables store 1 word and save 8
+    bytes/entry of HBM (hg19: ~22 GB across the 4 tables).
     """
     import functools
 
@@ -211,14 +218,14 @@ def build_key_words_device(pseq_dev, index_np: np.ndarray,
 
     kw = pattern.key_weight
     offs = [int(pattern.cared[p]) for p in
-            range(kw, min(pattern.cared_size, kw + POS_PER_WORD * N_KEY_WORDS))]
+            range(kw, min(pattern.cared_size, kw + POS_PER_WORD * n_key_words))]
     n_win = (max(offs) >> 4) + 2 if offs else 1
 
     @functools.partial(jax.jit, static_argnames=())
     def one_chunk(pseq, entries):
         win = packing.window_words(pseq, entries, n_win - 1)  # (m, n_win-1)
         words = []
-        for w in range(N_KEY_WORDS):
+        for w in range(n_key_words):
             acc = jnp.zeros(entries.shape, dtype=jnp.uint32)
             for i in range(POS_PER_WORD):
                 p = kw + w * POS_PER_WORD + i
@@ -229,11 +236,11 @@ def build_key_words_device(pseq_dev, index_np: np.ndarray,
                         (win[:, off >> 4] >> jnp.uint32(30 - 2 * (off & 15))) & 3
                     )
             words.append(acc)
-        return jnp.stack(words, axis=1)  # (m, 3)
+        return jnp.stack(words, axis=1)  # (m, n_key_words)
 
     n = index_np.shape[0]
     if n == 0:
-        return jnp.zeros((0, N_KEY_WORDS), dtype=jnp.uint32)
+        return jnp.zeros((0, n_key_words), dtype=jnp.uint32)
     parts = []
     for a in range(0, n, chunk):
         z = min(a + chunk, n)

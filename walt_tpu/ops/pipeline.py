@@ -196,11 +196,22 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         masks.append(jnp.broadcast_to(m, (B, S)))
     rws = [rw & m for rw, m in zip(rwords, masks)]
 
-    kws = [key_words[:, w] for w in range(npw)]
-
     # number of key words probed by the search and the slab admission; the
     # fast path defers words beyond the first to the window cared check
     nprobe = npw if exact_b else 1
+    # the device table may carry fewer packed key words than the read needs
+    # (word0-only tables halve per-entry HBM for default -b runs, which
+    # never take the exact_b path); probing more words than stored is a
+    # caller error
+    if key_words.ndim == 1:
+        key_words = key_words[:, None]
+    if key_words.shape[1] < nprobe:
+        raise ValueError(
+            f"device table stores {key_words.shape[1]} key word(s) but the "
+            f"exact_b={exact_b} path probes {nprobe}; rebuild the table with "
+            f"n_key_words={nprobe}"
+        )
+    kws = [key_words[:, w] for w in range(min(npw, key_words.shape[1]))]
 
     def probe(mid):
         midc = jnp.clip(mid, 0, n_entries - 1)

@@ -86,17 +86,55 @@ def make_mesh(devices=None, tp: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices).reshape(n // tp, tp), ("dp", "tp"))
 
 
+def _merge_tp(cs, cp, cm, fb, cand_slab: int):
+    """Merge per-tp-shard candidate slabs back into reference order.
+
+    Inside a shard_map body with a 'tp' axis: all_gather the (B_l, C) slabs
+    from every table shard and re-order per read on (seed asc, within-shard
+    arrival order).  A bucket lives wholly on one shard, so for a given
+    (read, seed) at most one shard contributes and the merged order equals
+    the unsharded pipeline's examination order exactly.
+    """
+    T = jax.lax.axis_size("tp")
+    cs_g = jax.lax.all_gather(cs, "tp")  # (T, B_l, C)
+    cp_g = jax.lax.all_gather(cp, "tp")
+    cm_g = jax.lax.all_gather(cm, "tp")
+    fb_any = jax.lax.all_gather(fb, "tp").any(axis=0)
+
+    Bl = cs.shape[0]
+    C = cand_slab
+    flat_seed = jnp.moveaxis(cs_g, 0, 1).reshape(Bl, T * C)
+    flat_pos = jnp.moveaxis(cp_g, 0, 1).reshape(Bl, T * C)
+    flat_mm = jnp.moveaxis(cm_g, 0, 1).reshape(Bl, T * C)
+    valid = flat_seed >= 0
+    arrival = jnp.arange(T * C, dtype=jnp.int32)[None, :]
+    order_key = jnp.where(
+        valid, flat_seed.astype(jnp.int32) * (T * C) + arrival, 2**30
+    )
+    order = jnp.argsort(order_key, axis=1)[:, :C]
+    m_seed = jnp.take_along_axis(flat_seed, order, axis=1)
+    m_pos = jnp.take_along_axis(flat_pos, order, axis=1)
+    m_mm = jnp.take_along_axis(flat_mm, order, axis=1)
+    total = jnp.sum(valid, axis=1, dtype=jnp.int32)
+    fb_any = fb_any | (total > C)
+    return m_seed, m_pos, m_mm, jnp.minimum(total, C), fb_any
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "pattern_name", "ag_wildcard", "search_bits",
-                     "verify_slab", "cand_slab"),
+                     "verify_slab", "cand_slab", "seeds", "wl_factor",
+                     "exact_b"),
 )
 def map_strand_sharded(preads, lens, b, max_mm, key_base, counter, index,
                        key_words, bucket_flagged, pseq, start_index, *,
                        mesh: Mesh, pattern_name: str, ag_wildcard: bool,
                        search_bits: int,
                        verify_slab: int = pipeline.VERIFY_SLAB,
-                       cand_slab: int = pipeline.CAND_SLAB):
+                       cand_slab: int = pipeline.CAND_SLAB,
+                       seeds: tuple | None = None,
+                       wl_factor: int = pipeline.WL_FACTOR,
+                       exact_b: bool = False):
     """Sharded equivalent of ``map_strand_device``.
 
     preads: (B, W) uint32 packed reads; B must divide by the ``dp`` size.
@@ -111,32 +149,10 @@ def map_strand_sharded(preads, lens, b, max_mm, key_base, counter, index,
             start_index, bucket_flagged[0], pattern_name=pattern_name,
             ag_wildcard=ag_wildcard, search_bits=search_bits,
             verify_slab=verify_slab, cand_slab=cand_slab,
-            key_base=key_base[0],
+            key_base=key_base[0], seeds=seeds, wl_factor=wl_factor,
+            exact_b=exact_b,
         )
-        T = jax.lax.axis_size("tp")
-        # (T, B_l, C) gathered candidate slabs from every table shard
-        cs_g = jax.lax.all_gather(cs, "tp")
-        cp_g = jax.lax.all_gather(cp, "tp")
-        cm_g = jax.lax.all_gather(cm, "tp")
-        fb_any = jax.lax.all_gather(fb, "tp").any(axis=0)
-
-        Bl = cs.shape[0]
-        C = cand_slab
-        flat_seed = jnp.moveaxis(cs_g, 0, 1).reshape(Bl, T * C)
-        flat_pos = jnp.moveaxis(cp_g, 0, 1).reshape(Bl, T * C)
-        flat_mm = jnp.moveaxis(cm_g, 0, 1).reshape(Bl, T * C)
-        valid = flat_seed >= 0
-        arrival = jnp.arange(T * C, dtype=jnp.int32)[None, :]
-        order_key = jnp.where(
-            valid, flat_seed.astype(jnp.int32) * (T * C) + arrival, 2**30
-        )
-        order = jnp.argsort(order_key, axis=1)[:, :C]
-        m_seed = jnp.take_along_axis(flat_seed, order, axis=1)
-        m_pos = jnp.take_along_axis(flat_pos, order, axis=1)
-        m_mm = jnp.take_along_axis(flat_mm, order, axis=1)
-        total = jnp.sum(valid, axis=1, dtype=jnp.int32)
-        fb_any = fb_any | (total > C)
-        return m_seed, m_pos, m_mm, jnp.minimum(total, C), fb_any
+        return _merge_tp(cs, cp, cm, fb, cand_slab)
 
     return jax.shard_map(
         body,
@@ -150,3 +166,93 @@ def map_strand_sharded(preads, lens, b, max_mm, key_base, counter, index,
         check_vma=False,
     )(preads, lens, b, max_mm, key_base, counter, index, key_words,
       bucket_flagged, pseq, start_index)
+
+
+#: pytree spec of one sharded table dict, as passed to the fused SE step
+_TABLE_SPEC = dict(
+    key_base=P("tp"), counter=P("tp"), index=P("tp"), key_words=P("tp"),
+    bucket_flagged=P("tp"), pseq=P(), start_index=P(),
+)
+
+
+def place_sharded_table(st: ShardedTables, mesh: Mesh) -> dict:
+    """Device-put one ShardedTables onto the mesh (tp-sharded + replicated).
+
+    Returns the dict consumed by :func:`map_single_end_sharded` /
+    :func:`map_strand_sharded` (key_base/counter/index/key_words/
+    bucket_flagged sharded over tp; pseq/start_index replicated).
+    """
+    from jax.sharding import NamedSharding
+
+    out = {}
+    for name, spec in _TABLE_SPEC.items():
+        out[name] = jax.device_put(
+            jnp.asarray(getattr(st, name)), NamedSharding(mesh, spec)
+        )
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "pattern_name", "ag_wildcard", "search_bits",
+                     "verify_slab", "cand_slab", "seeds", "wl_factor",
+                     "exact_b"),
+)
+def map_single_end_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
+                           pattern_name: str, ag_wildcard: bool,
+                           search_bits: tuple,
+                           verify_slab: int = pipeline.VERIFY_SLAB,
+                           cand_slab: int = pipeline.CAND_SLAB,
+                           seeds: tuple | None = None,
+                           wl_factor: int = pipeline.WL_FACTOR,
+                           exact_b: bool = False):
+    """Sharded equivalent of ``se_fold.map_single_end_device``.
+
+    One XLA program over the ('dp','tp') mesh: each of the two strand
+    tables is mapped against its tp shards, candidate slabs are merged back
+    into examination order with an all_gather over tp, and the per-read
+    BestMatch fold runs dp-locally.  This is the production multi-chip
+    replacement for the reference's OpenMP read fan-out
+    (src/walt/mapping.cpp:477-499).
+
+    ``tables``: tuple of two dicts from :func:`place_sharded_table`
+    ('+' strand table first).  Returns the (B, 3) packed result of
+    ``se_fold`` semantics, sharded over dp.
+    """
+    from walt_tpu.constants import get_pattern
+    from walt_tpu.ops import se_fold
+
+    pattern = get_pattern(pattern_name)
+
+    def body(preads, lens, b, max_mm, tables):
+        slabs = []
+        fallback = None
+        for t, bits in zip(tables, search_bits):
+            cs, cp, cm, cc, fb = pipeline.map_strand_core(
+                preads, lens, b, max_mm, t["pseq"], t["counter"][0],
+                t["index"][0], t["key_words"][0], t["start_index"],
+                t["bucket_flagged"][0], pattern_name=pattern_name,
+                ag_wildcard=ag_wildcard, search_bits=bits,
+                verify_slab=verify_slab, cand_slab=cand_slab,
+                key_base=t["key_base"][0], seeds=seeds, wl_factor=wl_factor,
+                exact_b=exact_b,
+            )
+            m_seed, m_pos, m_mm, _, fb_any = _merge_tp(cs, cp, cm, fb,
+                                                       cand_slab)
+            slabs.append((m_seed, m_pos, m_mm))
+            fallback = fb_any if fallback is None else (fallback | fb_any)
+        pos, times, minus, mm = se_fold.se_fold(slabs, max_mm, pattern)
+        flags = (
+            (mm.astype(jnp.uint32) << 2)
+            | (minus.astype(jnp.uint32) << 1)
+            | fallback.astype(jnp.uint32)
+        )
+        return jnp.stack([pos, times.astype(jnp.uint32), flags], axis=1)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P(), P(), (_TABLE_SPEC, _TABLE_SPEC)),
+        out_specs=P("dp"),
+        check_vma=False,
+    )(preads, lens, b, max_mm, tables)

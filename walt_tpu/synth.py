@@ -27,6 +27,77 @@ def make_genome(n_bases: int, n_chroms: int = 2, seed: int = 0) -> Genome:
     return Genome(names=names, lengths=lengths, start_index=start, seq=seq)
 
 
+def make_genome_repetitive(n_bases: int, n_chroms: int = 2,
+                           seed: int = 0) -> Genome:
+    """Genome with a human-like repeat landscape for realistic bucket tails.
+
+    A uniform-random genome gives almost-all-singleton hash buckets; real
+    mapping cost is dominated by the repeat tail (87% of reads sit in
+    size-1 buckets but the tail reaches the -b cap of 5000, reference
+    supplement Table S2).  This plants the families that create that tail:
+
+    - SINE ("Alu"-like): 300 bp master, ~10% of the genome, 5-25% per-copy
+      divergence, frequent 5' truncation;
+    - LINE ("L1"-like): 6 kbp master, ~17% of the genome, mostly truncated
+      copies, 5-30% divergence;
+    - old SINE ("MIR"-like): 200 bp master at high divergence (deep but
+      resolvable buckets);
+    - microsatellites ((AT)n / (CA)n / (CAG)n runs) and a 171 bp
+      "alpha-satellite" tandem array -- the degenerate keys whose buckets
+      blow past -b and, at genome scale, past the 500k erasure threshold
+      (reference.cpp:211-218).
+    """
+    rng = np.random.default_rng(seed)
+    g = make_genome(n_bases, n_chroms=n_chroms, seed=seed)
+    seq = g.seq  # mutated in place
+
+    def plant(master: np.ndarray, density: float, div_lo: float,
+              div_hi: float, truncate: bool):
+        L = master.shape[0]
+        total = int(n_bases * density)
+        n_copies = max(1, total // max(L // (2 if truncate else 1), 1))
+        starts = rng.integers(0, max(1, n_bases - L), n_copies)
+        lens = (
+            rng.integers(L // 10, L + 1, n_copies) if truncate
+            else np.full(n_copies, L)
+        )
+        divs = rng.uniform(div_lo, div_hi, n_copies)
+        for s, ln, dv in zip(starts, lens, divs):
+            copy = master[L - ln:].copy()  # 5' truncation keeps the 3' end
+            mut = rng.random(ln) < dv
+            copy[mut] = (copy[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+            seq[s : s + ln] = copy
+
+    plant(rng.integers(0, 4, 300, dtype=np.uint8), 0.10, 0.05, 0.25, True)
+    plant(rng.integers(0, 4, 6000, dtype=np.uint8), 0.17, 0.05, 0.30, True)
+    plant(rng.integers(0, 4, 200, dtype=np.uint8), 0.03, 0.20, 0.35, True)
+
+    # tandem repeats: microsatellite runs + one alpha-satellite-like array
+    # per chromosome (perfectly periodic cores whose buckets degenerate)
+    units = [np.array(u, dtype=np.uint8)
+             for u in ([0, 3], [1, 0], [1, 0, 2], [3, 3, 1, 0])]
+    n_runs = max(4, n_bases // 200_000)
+    for _ in range(n_runs):
+        unit = units[int(rng.integers(0, len(units)))]
+        ln = int(rng.integers(50, 2000))
+        s = int(rng.integers(0, max(1, n_bases - ln)))
+        run = np.tile(unit, ln // len(unit) + 1)[:ln]
+        mut = rng.random(ln) < 0.02
+        run[mut] = (run[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        seq[s : s + ln] = run
+    alpha = rng.integers(0, 4, 171, dtype=np.uint8)
+    for c in range(g.n_chroms):
+        a = int(g.start_index[c])
+        z = int(g.start_index[c + 1])
+        ln = min(max(2000, (z - a) // 200), z - a)
+        s = a + (z - a - ln) // 2
+        arr = np.tile(alpha, ln // 171 + 1)[:ln]
+        mut = rng.random(ln) < 0.05
+        arr[mut] = (arr[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        seq[s : s + ln] = arr
+    return g
+
+
 def write_genome_fasta(genome: Genome, path: str, width: int = 70) -> None:
     from walt_tpu.constants import CODE_TO_BASE
 
