@@ -1,108 +1,210 @@
-"""Throughput benchmark: end-to-end single-end mapping, reads/s on one chip.
+"""Throughput benchmarks: end-to-end mapping on one real TPU chip.
 
-Workload: synthetic 4 Mbp genome, 200k 100bp bisulfite reads, full SE pipeline
-(FASTQ parse -> device seed/refine/verify -> host best-hit replay -> MR
-emission) with the JAX backend, both strand tables, -m 6 defaults.
+Configs (all full product path: FASTQ parse -> device seed/refine/verify ->
+on-device fold / native PE finalize -> host fallback replay -> MR emission):
 
-Baseline: the reference maps SRR1532534 (50M x ~100bp reads, hg19) single-end
-in 0.71 h on one 2.4 GHz Xeon thread (BASELINE.md Table S6) = ~19.6k reads/s.
-The synthetic workload is easier per-read than hg19 (no repeats), so this
-overstates small-genome throughput; vs_baseline is still the honest published
-anchor until an hg19-scale run exists.
+- se_large  (HEADLINE): 512 Mbp repeat-structured genome (human chr1+chr2
+  scale, SINE/LINE/microsatellite/alpha-satellite families -- see
+  walt_tpu.synth.make_genome_repetitive), 2M x 100bp bisulfite reads,
+  single-end.  This is the honest stand-in for the reference's hg19 runs:
+  bisulfite conversion leaves 3^12 = 531k usable hash keys, so buckets
+  average ~1000 entries and the refine/verify tiering faces a real
+  repeat tail (supplement Table S2), including >=500k bucket erasure.
+- pe_mid: 256 Mbp repetitive genome, 300k x 100bp read pairs, paired-end
+  (4 resident tables; chip-level HBM budget bounds the PE genome at ~halve
+  the SE one: index + key word0 + packed genome per table).
+- se_small: the round-1 config (4 Mbp uniform genome, 200k reads) kept for
+  cross-round continuity.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+Baselines (BASELINE.md): the reference maps 50M x ~100bp reads (hg19) SE in
+0.71 h = ~19.6k reads/s, PE in 2.43 h = ~5.7k pairs/s, on one 2.4 GHz Xeon
+thread.  vs_baseline is measured/against-those.
+
+Prints exactly ONE JSON line (the headline config) on stdout; all configs
+and their detail (fallback %, host RSS, device table bytes) go to
+BENCH_DETAIL.json next to this file and to stderr.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
 import time
 
-BASELINE_READS_PER_SEC = 50_000_000 / (0.71 * 3600)  # Table S6, SRR1532534 SE
+BASE_SE = 50_000_000 / (0.71 * 3600)  # Table S6, SRR1532534 SE
+BASE_PE = 50_000_000 / (2.43 * 3600)  # Table S7, SRR1532534 PE
 
 CACHE = "/tmp/waltx_bench"
-N_BASES = 4_000_000
-# 200k reads: enough work that per-batch fixed costs (tunnel round trips,
-# compile-cache lookups) amortize and the number reflects steady-state
-# throughput rather than launch latency
-N_READS = 200_000
-READ_LEN = 100
-# batch size chosen so the run is several batches: the driver's software
-# pipeline then hides FASTQ parse, host-fallback replay, and MR emission of
-# neighboring batches under each batch's device time (and 65536 tiles into
-# exactly two full-size device chunks)
-BATCH = 65_536
+CACHE_LARGE = "/tmp/waltx_bench_large"
+CACHE_PE = "/tmp/waltx_bench_pe"
 
 
-def _prepare():
-    os.makedirs(CACHE, exist_ok=True)
-    fasta = os.path.join(CACHE, "genome.fa")
-    index = os.path.join(CACHE, "bench.dbindex")
-    fastq = os.path.join(CACHE, "reads.fastq")
-    stamp = os.path.join(CACHE, f"v1_{N_BASES}_{N_READS}_{READ_LEN}.ok")
+def _prepare(cache: str, n_bases: int, n_reads: int, read_len: int,
+             repetitive: bool, paired: bool, version: str):
+    """Build (once, cached) genome + index + reads for one config."""
+    os.makedirs(cache, exist_ok=True)
+    index = os.path.join(cache, "bench.dbindex")
+    fq1 = os.path.join(cache, "reads_1.fastq")
+    fq2 = os.path.join(cache, "reads_2.fastq")
+    stamp = os.path.join(
+        cache, f"{version}_{n_bases}_{n_reads}_{read_len}.ok"
+    )
     if not os.path.exists(stamp):
         from walt_tpu.index.build import build_all_tables
         from walt_tpu.index.io_walt import write_index
         from walt_tpu.synth import (
-            codes_to_fastq, make_genome, sample_reads, write_genome_fasta,
+            codes_to_fastq, make_genome, make_genome_repetitive, sample_pairs,
+            sample_reads, write_genome_fasta,
         )
 
-        genome = make_genome(N_BASES, n_chroms=2, seed=42)
+        t0 = time.time()
+        mk = make_genome_repetitive if repetitive else make_genome
+        genome = mk(n_bases, n_chroms=2, seed=42)
+        fasta = os.path.join(cache, "genome.fa")
         write_genome_fasta(genome, fasta)
-        codes, lens, _ = sample_reads(genome, N_READS, READ_LEN, seed=7)
-        codes_to_fastq(codes, lens, fastq)
+        if paired:
+            c1, l1, c2, l2 = sample_pairs(genome, n_reads, read_len, seed=7)
+            codes_to_fastq(c1, l1, fq1)
+            codes_to_fastq(c2, l2, fq2)
+        else:
+            codes, lens, _ = sample_reads(genome, n_reads, read_len, seed=7)
+            codes_to_fastq(codes, lens, fq1)
+        del genome
         g, tables = build_all_tables([fasta], verbose=False)
+        build_s = time.time() - t0
         write_index(index, g, tables)
-        open(stamp, "w").close()
-    return index, fastq
+        del g, tables
+        gc.collect()
+        with open(stamp, "w") as f:
+            json.dump({"index_build_s": round(build_s, 1)}, f)
+    meta = json.load(open(stamp))
+    return index, fq1, (fq2 if paired else None), meta
+
+
+def _rss_gb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 2**20
+    return 0.0
+
+
+def _run_se(index, fastq, out, batch, backend):
+    from walt_tpu.core.single_end import process_single_end
+
+    open(out, "w").close()
+    open(out + ".mapstats", "w").close()
+    t0 = time.perf_counter()
+    stat = process_single_end(index, fastq, out, batch_size=batch,
+                              max_mismatches=6, backend=backend)
+    return time.perf_counter() - t0, stat
+
+
+def _run_pe(index, fq1, fq2, out, batch, backend):
+    from walt_tpu.core.paired_end import process_paired_end
+
+    open(out, "w").close()
+    open(out + ".mapstats", "w").close()
+    t0 = time.perf_counter()
+    stat = process_paired_end(index, fq1, fq2, out, batch_size=batch,
+                              max_mismatches=6, backend=backend)
+    return time.perf_counter() - t0, stat
+
+
+def _bench_config(name, cache, n_bases, n_reads, read_len, repetitive,
+                  paired, batch, repeats=3, version="v2"):
+    """One config: prepare, warm up (compiles + table upload), best-of-N."""
+    from walt_tpu.core.backends import get_backend
+
+    index, fq1, fq2, meta = _prepare(
+        cache, n_bases, n_reads, read_len, repetitive, paired, version
+    )
+    backend = get_backend("jax")
+    out = os.path.join(cache, "out.mr")
+
+    runner = (
+        (lambda: _run_pe(index, fq1, fq2, out, batch, backend)) if paired
+        else (lambda: _run_se(index, fq1, out, batch, backend))
+    )
+    runner()  # warmup: compiles, device tables, heuristics
+    # best of N: this host class freezes the VM for O(seconds) at random,
+    # so a single wall-clock sample understates steady-state throughput
+    dt, stat = min((runner() for _ in range(repeats)), key=lambda r: r[0])
+
+    table_bytes = sum(
+        sum(int(np.size(v)) * v.dtype.itemsize for v in dev.values())
+        for _, dev in backend._tables.values()
+    )
+    detail = {
+        "config": name,
+        "value": round(n_reads / dt, 1),
+        "unit": "pairs/s" if paired else "reads/s",
+        "seconds": round(dt, 2),
+        "n": n_reads,
+        "genome_bp": n_bases,
+        "read_len": read_len,
+        "vs_baseline": round(n_reads / dt / (BASE_PE if paired else BASE_SE), 3),
+        "fallback_pct": round(
+            100 * backend.fallback_reads / max(1, backend.total_reads), 3
+        ),
+        "host_rss_gb": round(_rss_gb(), 2),
+        "device_table_gb": round(table_bytes / 2**30, 2),
+        "index_build_s": meta.get("index_build_s"),
+        "mapstats": {
+            k: int(getattr(stat, k))
+            for k in ("unique", "ambiguous", "unmapped")
+            if hasattr(stat, k)
+        } | (
+            {"unique_pairs": int(stat.unique_pairs)}
+            if hasattr(stat, "unique_pairs") else {}
+        ),
+    }
+    # free device tables before the next config (HBM budget)
+    backend._tables.clear()
+    gc.collect()
+    return detail
+
+
+import numpy as np  # noqa: E402
 
 
 def main() -> int:
     from walt_tpu.hostmem import prefault
 
     prefault()
-    index, fastq = _prepare()
-    out = os.path.join(CACHE, "out.mr")
+    only = os.environ.get("WALTX_BENCH_ONLY", "")
+    details = []
 
-    from walt_tpu.core.backends import get_backend
-    from walt_tpu.core.single_end import process_single_end
+    configs = [
+        dict(name="se_large_512M", cache=CACHE_LARGE, n_bases=512_000_000,
+             n_reads=2_000_000, read_len=100, repetitive=True, paired=False,
+             batch=500_000),
+        dict(name="pe_mid_256M", cache=CACHE_PE, n_bases=256_000_000,
+             n_reads=300_000, read_len=100, repetitive=True, paired=True,
+             batch=150_000),
+        dict(name="se_small_4M", cache=CACHE, n_bases=4_000_000,
+             n_reads=200_000, read_len=100, repetitive=False, paired=False,
+             batch=65_536),
+    ]
+    for cfg in configs:
+        if only and only != cfg["name"]:
+            continue
+        d = _bench_config(**cfg)
+        details.append(d)
+        print(json.dumps(d), file=sys.stderr)
 
-    backend = get_backend("jax")
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(details, f, indent=1)
 
-    # warmup: identical shapes to the measured run, so every program is
-    # compiled (and the backend's phase heuristics are settled) beforehand
-    open(out, "w").close()
-    open(out + ".mapstats", "w").close()
-    process_single_end(index, fastq, out, batch_size=BATCH,
-                       max_mismatches=6, backend=backend)
-
-    # best of 3: this host class freezes the VM for O(seconds) at random,
-    # so a single wall-clock sample understates steady-state throughput
-    dt = float("inf")
-    for _ in range(3):
-        open(out, "w").close()
-        open(out + ".mapstats", "w").close()
-        t0 = time.perf_counter()
-        stat = process_single_end(index, fastq, out, batch_size=BATCH,
-                                  max_mismatches=6, backend=backend)
-        dt = min(dt, time.perf_counter() - t0)
-
-    value = N_READS / dt
-    print(
-        f"mapped {N_READS} reads in {dt:.2f}s "
-        f"({stat.unique} unique, {stat.ambiguous} ambiguous, "
-        f"{stat.unmapped} unmapped; "
-        f"{backend.fallback_reads}/{backend.total_reads} host-fallback)",
-        file=sys.stderr,
-    )
+    head = details[0]
     print(json.dumps({
-        "metric": "se_reads_per_sec_1chip",
-        "value": round(value, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(value / BASELINE_READS_PER_SEC, 3),
+        "metric": f"{head['config']}_{head['unit'].replace('/', '_per_')}_1chip",
+        "value": head["value"],
+        "unit": head["unit"],
+        "vs_baseline": head["vs_baseline"],
     }))
     return 0
 

@@ -293,7 +293,17 @@ class JaxBackend:
         # driver replays fallbacks concurrently with the next batch's
         # device time (core/single_end.py pipeline), so a few hundred reads
         # ride along for free.  Flagged-bucket fallbacks end up on the host
-        # either way.
+        # either way.  When the NATIVE exact enumerator is available the
+        # host path is ~100x cheaper per read than a tier-2 device re-run's
+        # amortized cost (its worklist scales as wl_factor x chunk while
+        # real survivors are one long run), so every overflow read goes
+        # straight there.
+        from walt_tpu import native as _native
+
+        if _native.get_lib() is not None:
+            self.total_reads += n
+            self.fallback_reads += int(fb.sum())
+            return pos, times, minus, mm, fb
         todo = np.flatnonzero(fb)
         if todo.size > max(256, n // 128):
             merge(out, todo,

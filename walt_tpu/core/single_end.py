@@ -107,6 +107,8 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
             )
             return codes, lens, v_pos, v_times, v_minus, v_mm, fb_any
 
+        from walt_tpu import native
+
         def emit_batch(batch, mapped):
             codes, lens, v_pos, v_times, v_minus, v_mm, fb_any = mapped
 
@@ -123,11 +125,19 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
                 )
 
             todo = np.flatnonzero(fb_any)
-            for i, bm in zip(todo, replay.host_map(replay_one, todo)):
-                v_pos[i] = bm.genome_pos
-                v_times[i] = bm.times
-                v_minus[i] = bm.strand == "-"
-                v_mm[i] = bm.mismatch
+            got = (
+                native.se_exact(codes[todo], lens[todo], tables, ag_wildcard,
+                                b, max_mismatches, pattern)
+                if todo.size else None
+            )
+            if got is not None:
+                v_pos[todo], v_times[todo], v_minus[todo], v_mm[todo] = got
+            else:
+                for i, bm in zip(todo, replay.host_map(replay_one, todo)):
+                    v_pos[i] = bm.genome_pos
+                    v_times[i] = bm.times
+                    v_minus[i] = bm.strand == "-"
+                    v_mm[i] = bm.mismatch
             emit.write_single_batch(
                 v_pos, v_times, v_minus, v_mm, batch, genome_meta,
                 ag_wildcard, sam, ambiguous, unmapped, fout, famb, funm,

@@ -13,7 +13,8 @@ import os
 import subprocess
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRCS = [os.path.join(_DIR, "finalize.cpp"), os.path.join(_DIR, "fastio.cpp")]
+_SRCS = [os.path.join(_DIR, "finalize.cpp"), os.path.join(_DIR, "fastio.cpp"),
+         os.path.join(_DIR, "se_exact.cpp")]
 _SO = os.path.join(_DIR, "libwaltx_finalize.so")
 
 _lib = None
@@ -94,6 +95,18 @@ def get_lib():
     lib.mr_emit_batch.restype = ctypes.c_int
     lib.dio_write.argtypes = [ctypes.c_int, u8p, ctypes.c_int64]
     lib.dio_write.restype = ctypes.c_int
+    lib.se_exact_batch.argtypes = [
+        ctypes.c_int64, u8p, ctypes.c_int32, i32p,
+        i32p, i32p,
+        u8p, u32p, u32p,
+        u8p, u32p, u32p,
+        u32p, ctypes.c_int32,
+        u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        u32p, i32p, u8p, i32p,
+    ]
+    lib.se_exact_batch.restype = None
     _lib = lib
     return _lib
 
@@ -192,6 +205,67 @@ def sort_buckets(seq, chrom_start, counter, index, cared, key_weight,
         ptr(cared, ctypes.c_uint32), key_weight, cared_size,
     )
     return True
+
+
+def se_exact(codes, lens, tables, ag_wildcard: bool, b: int, max_mm: int,
+             pattern, nthreads: int = 0):
+    """Exact BestMatch for a batch of fallback reads (se_exact.cpp).
+
+    ``tables``: [(genome, HashTable), (genome, HashTable)] '+' table first.
+    Returns (pos u32, times i32, minus bool, mm i32) arrays, or None when
+    the native library is unavailable.  Byte-equivalent to
+    refmap.enumerate_candidates + replay.replay_single per read.
+    """
+    import numpy as np
+
+    from walt_tpu.core import refmap
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, lmax = codes.shape
+    conv = np.ascontiguousarray(refmap.convert_read(codes, ag_wildcard))
+    lens = np.ascontiguousarray(lens.astype(np.int32))
+    repeats = np.ascontiguousarray(
+        pattern.repeats_for_len(lens).astype(np.int32)
+    )
+    seed_len = np.ascontiguousarray(
+        pattern.seed_len_for_len(lens).astype(np.int32)
+    )
+    seqs, counters, indexes = [], [], []
+    for g, ht in tables:
+        seqs.append(refmap.padded_seq(g, pattern))
+        counters.append(np.ascontiguousarray(ht.counter))
+        indexes.append(np.ascontiguousarray(ht.index))
+    start = np.ascontiguousarray(tables[0][0].start_index.astype(np.uint32))
+    cared = np.ascontiguousarray(pattern.cared.astype(np.uint32))
+    skips = np.ascontiguousarray(
+        np.asarray([list(t) for t in pattern.verify_skip], dtype=np.int32)
+        .reshape(-1)
+    )
+    if nthreads <= 0:
+        nthreads = max(1, min(8, (os.cpu_count() or 1)))
+
+    out_pos = np.empty(n, dtype=np.uint32)
+    out_times = np.empty(n, dtype=np.int32)
+    out_strand = np.empty(n, dtype=np.uint8)
+    out_mm = np.empty(n, dtype=np.int32)
+    lib.se_exact_batch(
+        n, _ptr(conv, ctypes.c_uint8), lmax, _ptr(lens, ctypes.c_int32),
+        _ptr(repeats, ctypes.c_int32), _ptr(seed_len, ctypes.c_int32),
+        _ptr(seqs[0], ctypes.c_uint8), _ptr(counters[0], ctypes.c_uint32),
+        _ptr(indexes[0], ctypes.c_uint32),
+        _ptr(seqs[1], ctypes.c_uint8), _ptr(counters[1], ctypes.c_uint32),
+        _ptr(indexes[1], ctypes.c_uint32),
+        _ptr(start, ctypes.c_uint32), len(start) - 1,
+        _ptr(cared, ctypes.c_uint32), int(pattern.key_weight),
+        int(pattern.pattern_len), int(pattern.exit1_seed),
+        _ptr(skips, ctypes.c_int32), len(skips) // 3,
+        int(b), int(max_mm), int(nthreads),
+        _ptr(out_pos, ctypes.c_uint32), _ptr(out_times, ctypes.c_int32),
+        _ptr(out_strand, ctypes.c_uint8), _ptr(out_mm, ctypes.c_int32),
+    )
+    return out_pos, out_times, out_strand.astype(bool), out_mm
 
 
 def pe_finalize(streams, skip, len1, len2, chrom_start, top_k, frag_range,

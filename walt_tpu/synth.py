@@ -143,6 +143,38 @@ def sample_reads(genome: Genome, n: int, length: int, seed: int = 1,
     return codes, lens, starts
 
 
+def sample_pairs(genome: Genome, n: int, length: int, seed: int = 1,
+                 frag_lo: int = 150, frag_hi: int = 500,
+                 bis_rate: float = 0.75, err_rate: float = 0.01):
+    """Bisulfite read pairs: mate 1 = fragment 5' end (C->T world), mate 2 =
+    reverse complement of the 3' end (maps G->A, paired.cpp:642-643).
+
+    Returns (codes1, lens1, codes2, lens2).
+    """
+    rng = np.random.default_rng(seed)
+    G = genome.length_of_genome
+    frag_len = rng.integers(frag_lo, frag_hi + 1, n)
+    starts = rng.integers(0, G - frag_hi, n)
+    chrom = np.searchsorted(genome.start_index, starts, side="right") - 1
+    ends = genome.start_index.astype(np.int64)[chrom + 1]
+    starts = np.minimum(starts, ends - frag_len)
+
+    # bisulfite-convert the two read windows (same fragment, same strand)
+    c1 = genome.seq[starts[:, None] + np.arange(length)].copy()
+    s2 = starts + frag_len - length
+    c2 = genome.seq[s2[:, None] + np.arange(length)].copy()
+    for c in (c1, c2):
+        is_c = c == 1
+        c[is_c & (rng.random((n, length)) < bis_rate)] = 3
+    c2 = (3 - c2)[:, ::-1]  # mate 2 is sequenced from the opposite strand
+
+    for c in (c1, c2):
+        err = rng.random((n, length)) < err_rate
+        c[err] = (c[err] + rng.integers(1, 4, int(err.sum()))) % 4
+    lens = np.full(n, length, dtype=np.int32)
+    return c1, lens, np.ascontiguousarray(c2), lens.copy()
+
+
 def codes_to_fastq(codes: np.ndarray, lens: np.ndarray, path: str,
                    name_prefix: str = "r") -> None:
     from walt_tpu.genome import decode_to_bytes
