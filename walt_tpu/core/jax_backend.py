@@ -389,6 +389,105 @@ class JaxBackend:
         self.fallback_reads += int(out[4].sum())
         return out
 
+    def map_mate_slabs(self, codes: np.ndarray, lens: np.ndarray, tables,
+                       ag_wildcard: bool, b: int, max_mismatches: int,
+                       pattern: SeedPattern):
+        """Both strand tables of one mate, fused (ops/pe_map) -- one
+        dispatch and a flat-compacted fetch per chunk instead of two slab
+        dispatches with ~9C bytes/read of D2H.
+
+        ``tables``: [(genome, hash_table), (genome, hash_table)] '+' first.
+        Returns ([dict(seed, pos, mm, cnt) per strand], fallback (n,) bool);
+        slab arrays are (n, cand_slab), C-contiguous, ready for
+        native.pe_finalize.  Reads flagged fallback (pipeline overflow or
+        flat spill) carry no usable slab entries -- the driver routes them
+        to the exact host path.
+        """
+        from walt_tpu.ops import pe_map
+
+        n = codes.shape[0]
+        devs, bits = [], []
+        nkw = self._needed_key_words(b)
+        for g, ht in tables:
+            dt, dev = self._device_table(g, ht, pattern, nkw)
+            devs.append(dev)
+            bits.append(dt.max_bucket_bits)
+
+        C = self.cand_slab
+        results = []
+        for a, z, pc, pl in self._chunks(codes, lens, pattern):
+            kw = dict(
+                pattern_name=pattern.name, ag_wildcard=ag_wildcard,
+                search_bits=tuple(bits), verify_slab=self.verify_slab_t1,
+                cand_slab=C, wl_factor=self._wl1,
+                exact_b=b < self.verify_slab_t1,
+                flat_factor=pe_map.FLAT_FACTOR,
+            )
+            if self.mesh is not None:
+                from walt_tpu.parallel import map_mate_sharded
+
+                r = map_mate_sharded(
+                    pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
+                    tuple(devs), mesh=self.mesh, **kw,
+                )
+            else:
+                r = pe_map.map_mate_device(
+                    pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
+                    tuple(devs), **kw,
+                )
+            results.append((a, z, r))
+        for _, _, (meta, flat) in results:
+            meta.copy_to_host_async()
+            flat.copy_to_host_async()
+
+        streams = [
+            dict(seed=np.zeros((n, C), dtype=np.int8),
+                 pos=np.zeros((n, C), dtype=np.uint32),
+                 mm=np.zeros((n, C), dtype=np.int32),
+                 cnt=np.zeros(n, dtype=np.int32))
+            for _ in range(2)
+        ]
+        fallback = np.zeros(n, dtype=bool)
+        for a, z, (meta_d, flat_d) in results:
+            meta_c = np.asarray(meta_d)
+            flat_c = np.asarray(flat_d)
+            B = meta_c.shape[0]
+            # the flat compaction is dp-local: one read-major segment per
+            # dp shard (a single segment when unsharded)
+            seg_reads = B // self._dp
+            seg_M = flat_c.shape[0] // self._dp
+            for g in range(self._dp):
+                a0 = a + g * seg_reads
+                if a0 >= z:
+                    break
+                z0 = min(a0 + seg_reads, z)
+                meta = meta_c[g * seg_reads : g * seg_reads + (z0 - a0)]
+                flat = flat_c[g * seg_M : (g + 1) * seg_M]
+                cnt0 = (meta & 0xFF).astype(np.int64)
+                cnt1 = ((meta >> 8) & 0xFF).astype(np.int64)
+                fallback[a0:z0] = (meta >> 16) & 1
+                total = cnt0 + cnt1
+                m = int(total.sum())
+                streams[0]["cnt"][a0:z0] = cnt0
+                streams[1]["cnt"][a0:z0] = cnt1
+                if not m:
+                    continue
+                ends = np.cumsum(total)
+                rid = np.repeat(np.arange(z0 - a0), total)
+                within = np.arange(m) - (ends - total)[rid]
+                w1 = flat[:m, 1]
+                strand = ((w1 >> 1) & 1).astype(np.int64)
+                col = np.where(strand == 0, within, within - cnt0[rid])
+                for s, st in enumerate(streams):
+                    sel = strand == s
+                    r, c = rid[sel] + a0, col[sel]
+                    st["seed"][r, c] = ((w1[sel] >> 2) & 0x3F).astype(np.int8)
+                    st["pos"][r, c] = flat[:m, 0][sel]
+                    st["mm"][r, c] = (w1[sel] >> 8).astype(np.int32)
+        self.total_reads += n
+        self.fallback_reads += int(fallback.sum())
+        return streams, fallback
+
     def map_strand(self, codes: np.ndarray, lens: np.ndarray, genome: Genome,
                    table: HashTable, ag_wildcard: bool, b: int,
                    max_mismatches: int, pattern: SeedPattern) -> list:

@@ -260,7 +260,7 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
     from walt_tpu import native
 
     use_native = (
-        native.get_lib() is not None and hasattr(backend, "map_strand_slabs")
+        native.get_lib() is not None and hasattr(backend, "map_mate_slabs")
     )
 
     t0 = time.process_time()
@@ -286,24 +286,24 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
             codes, lens = batch.packed()
             lens_by_mate.append(lens)
             streams = []
-            for (g, ht), strand in zip(tables[pi], strands):
+            if use_native:
                 # short reads counted once per strand pass (paired.cpp:112-115)
-                mate_stat.num_of_short += int(
+                mate_stat.num_of_short += 2 * int(
                     np.sum(lens < pattern.min_read_len)
                 )
-                if use_native:
-                    cs, cp, cm, cc, fb = backend.map_strand_slabs(
-                        codes, lens, g, ht, ag_wildcard, b, max_mismatches,
-                        pattern,
+                # fused: both strand tables in ONE dispatch, flat-compacted
+                # fetch (ops/pe_map) -- 2 dispatches per batch total
+                mate_streams, fb = backend.map_mate_slabs(
+                    codes, lens, tables[pi], ag_wildcard, b, max_mismatches,
+                    pattern,
+                )
+                slab_streams.extend(mate_streams)
+                fb_any = fb if fb_any is None else (fb_any | fb)
+            else:
+                for (g, ht), strand in zip(tables[pi], strands):
+                    mate_stat.num_of_short += int(
+                        np.sum(lens < pattern.min_read_len)
                     )
-                    slab_streams.append(dict(
-                        seed=np.ascontiguousarray(cs),
-                        pos=np.ascontiguousarray(cp),
-                        mm=np.ascontiguousarray(cm),
-                        cnt=np.ascontiguousarray(cc),
-                    ))
-                    fb_any = fb if fb_any is None else (fb_any | fb)
-                else:
                     per_read = backend.map_strand(
                         codes, lens, g, ht, ag_wildcard, b, max_mismatches,
                         pattern,
@@ -361,9 +361,31 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                 return rk
 
             fb_idx = np.flatnonzero(fb_any)
-            fb_ranked = dict(
-                zip(fb_idx, _replay.host_map(replay_fb, fb_idx))
-            )
+            fb_ranked = {}
+            if fb_idx.size:
+                per_mate = []
+                for pi, codes_ in ((0, codes1), (1, codes2)):
+                    got = native.pe_exact_ranked(
+                        codes_[fb_idx], lens_by_mate[pi][fb_idx],
+                        tables[pi], (pi == 1) != pbat, b, max_mismatches,
+                        top_k, pattern,
+                    )
+                    per_mate.append(got)
+                if all(g is not None for g in per_mate):
+                    for jj, j in enumerate(fb_idx):
+                        rk = []
+                        for cnt, mmv, posv, stv in per_mate:
+                            k = int(cnt[jj])
+                            rk.append([
+                                (int(mmv[jj, q]), int(posv[jj, q]),
+                                 strands[stv[jj, q]])
+                                for q in range(k)
+                            ])
+                        fb_ranked[int(j)] = rk
+                else:
+                    fb_ranked = dict(
+                        zip(fb_idx, _replay.host_map(replay_fb, fb_idx))
+                    )
             for j in range(n0):
                 if fb_any[j]:
                     rk = fb_ranked[j]

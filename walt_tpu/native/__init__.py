@@ -107,6 +107,18 @@ def get_lib():
         u32p, i32p, u8p, i32p,
     ]
     lib.se_exact_batch.restype = None
+    lib.pe_exact_ranked.argtypes = [
+        ctypes.c_int64, u8p, ctypes.c_int32, i32p,
+        i32p, i32p,
+        u8p, u32p, u32p,
+        u8p, u32p, u32p,
+        u32p, ctypes.c_int32,
+        u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, u32p, u8p,
+    ]
+    lib.pe_exact_ranked.restype = None
     _lib = lib
     return _lib
 
@@ -207,6 +219,51 @@ def sort_buckets(seq, chrom_start, counter, index, cared, key_weight,
     return True
 
 
+def _exact_args(codes, lens, tables, ag_wildcard, pattern, nthreads):
+    """Shared argument marshalling for the exact enumerator entry points."""
+    import numpy as np
+
+    from walt_tpu.core import refmap
+
+    n, lmax = codes.shape
+    conv = np.ascontiguousarray(refmap.convert_read(codes, ag_wildcard))
+    lens = np.ascontiguousarray(lens.astype(np.int32))
+    repeats = np.ascontiguousarray(
+        pattern.repeats_for_len(lens).astype(np.int32)
+    )
+    seed_len = np.ascontiguousarray(
+        pattern.seed_len_for_len(lens).astype(np.int32)
+    )
+    tbl = []
+    for g, ht in tables:
+        tbl += [refmap.padded_seq(g, pattern),
+                np.ascontiguousarray(ht.counter),
+                np.ascontiguousarray(ht.index)]
+    start = np.ascontiguousarray(tables[0][0].start_index.astype(np.uint32))
+    cared = np.ascontiguousarray(pattern.cared.astype(np.uint32))
+    skips = np.ascontiguousarray(
+        np.asarray([list(t) for t in pattern.verify_skip], dtype=np.int32)
+        .reshape(-1)
+    )
+    if nthreads <= 0:
+        nthreads = max(1, min(8, (os.cpu_count() or 1)))
+    args = [
+        n, _ptr(conv, ctypes.c_uint8), lmax, _ptr(lens, ctypes.c_int32),
+        _ptr(repeats, ctypes.c_int32), _ptr(seed_len, ctypes.c_int32),
+        _ptr(tbl[0], ctypes.c_uint8), _ptr(tbl[1], ctypes.c_uint32),
+        _ptr(tbl[2], ctypes.c_uint32),
+        _ptr(tbl[3], ctypes.c_uint8), _ptr(tbl[4], ctypes.c_uint32),
+        _ptr(tbl[5], ctypes.c_uint32),
+        _ptr(start, ctypes.c_uint32), len(start) - 1,
+        _ptr(cared, ctypes.c_uint32), int(pattern.key_weight),
+        int(pattern.pattern_len), int(pattern.exit1_seed),
+        _ptr(skips, ctypes.c_int32), len(skips) // 3,
+    ]
+    # the marshalled numpy temporaries must outlive the C call
+    keepalive = (conv, lens, repeats, seed_len, tbl, start, cared, skips)
+    return n, args, nthreads, keepalive
+
+
 def se_exact(codes, lens, tables, ag_wildcard: bool, b: int, max_mm: int,
              pattern, nthreads: int = 0):
     """Exact BestMatch for a batch of fallback reads (se_exact.cpp).
@@ -218,54 +275,50 @@ def se_exact(codes, lens, tables, ag_wildcard: bool, b: int, max_mm: int,
     """
     import numpy as np
 
-    from walt_tpu.core import refmap
-
     lib = get_lib()
     if lib is None:
         return None
-    n, lmax = codes.shape
-    conv = np.ascontiguousarray(refmap.convert_read(codes, ag_wildcard))
-    lens = np.ascontiguousarray(lens.astype(np.int32))
-    repeats = np.ascontiguousarray(
-        pattern.repeats_for_len(lens).astype(np.int32)
+    n, args, nthreads, _keep = _exact_args(
+        codes, lens, tables, ag_wildcard, pattern, nthreads
     )
-    seed_len = np.ascontiguousarray(
-        pattern.seed_len_for_len(lens).astype(np.int32)
-    )
-    seqs, counters, indexes = [], [], []
-    for g, ht in tables:
-        seqs.append(refmap.padded_seq(g, pattern))
-        counters.append(np.ascontiguousarray(ht.counter))
-        indexes.append(np.ascontiguousarray(ht.index))
-    start = np.ascontiguousarray(tables[0][0].start_index.astype(np.uint32))
-    cared = np.ascontiguousarray(pattern.cared.astype(np.uint32))
-    skips = np.ascontiguousarray(
-        np.asarray([list(t) for t in pattern.verify_skip], dtype=np.int32)
-        .reshape(-1)
-    )
-    if nthreads <= 0:
-        nthreads = max(1, min(8, (os.cpu_count() or 1)))
-
     out_pos = np.empty(n, dtype=np.uint32)
     out_times = np.empty(n, dtype=np.int32)
     out_strand = np.empty(n, dtype=np.uint8)
     out_mm = np.empty(n, dtype=np.int32)
     lib.se_exact_batch(
-        n, _ptr(conv, ctypes.c_uint8), lmax, _ptr(lens, ctypes.c_int32),
-        _ptr(repeats, ctypes.c_int32), _ptr(seed_len, ctypes.c_int32),
-        _ptr(seqs[0], ctypes.c_uint8), _ptr(counters[0], ctypes.c_uint32),
-        _ptr(indexes[0], ctypes.c_uint32),
-        _ptr(seqs[1], ctypes.c_uint8), _ptr(counters[1], ctypes.c_uint32),
-        _ptr(indexes[1], ctypes.c_uint32),
-        _ptr(start, ctypes.c_uint32), len(start) - 1,
-        _ptr(cared, ctypes.c_uint32), int(pattern.key_weight),
-        int(pattern.pattern_len), int(pattern.exit1_seed),
-        _ptr(skips, ctypes.c_int32), len(skips) // 3,
-        int(b), int(max_mm), int(nthreads),
+        *args, int(b), int(max_mm), int(nthreads),
         _ptr(out_pos, ctypes.c_uint32), _ptr(out_times, ctypes.c_int32),
         _ptr(out_strand, ctypes.c_uint8), _ptr(out_mm, ctypes.c_int32),
     )
     return out_pos, out_times, out_strand.astype(bool), out_mm
+
+
+def pe_exact_ranked(codes, lens, tables, ag_wildcard: bool, b: int,
+                    max_mm: int, top_k: int, pattern, nthreads: int = 0):
+    """Exact drain-order top-k candidates for fallback reads of one mate.
+
+    Returns (count (n,) i32, mm (n,k) i32, pos (n,k) u32, strand (n,k) u8)
+    or None when unavailable.  Byte-equivalent to
+    replay.replay_paired_topk over refmap.enumerate_candidates streams.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, args, nthreads, _keep = _exact_args(
+        codes, lens, tables, ag_wildcard, pattern, nthreads
+    )
+    out_n = np.empty(n, dtype=np.int32)
+    out_mm = np.empty((n, top_k), dtype=np.int32)
+    out_pos = np.empty((n, top_k), dtype=np.uint32)
+    out_strand = np.empty((n, top_k), dtype=np.uint8)
+    lib.pe_exact_ranked(
+        *args, int(b), int(max_mm), int(top_k), int(nthreads),
+        _ptr(out_n, ctypes.c_int32), _ptr(out_mm, ctypes.c_int32),
+        _ptr(out_pos, ctypes.c_uint32), _ptr(out_strand, ctypes.c_uint8),
+    )
+    return out_n, out_mm, out_pos, out_strand
 
 
 def pe_finalize(streams, skip, len1, len2, chrom_start, top_k, frag_range,

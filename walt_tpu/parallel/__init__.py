@@ -15,6 +15,7 @@ equivalent is a 2-D device mesh:
 from walt_tpu.parallel.sharded import (  # noqa: F401
     ShardedTables,
     make_mesh,
+    map_mate_sharded,
     map_single_end_sharded,
     map_strand_sharded,
     place_sharded_table,

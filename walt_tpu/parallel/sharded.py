@@ -256,3 +256,52 @@ def map_single_end_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
         out_specs=P("dp"),
         check_vma=False,
     )(preads, lens, b, max_mm, tables)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "pattern_name", "ag_wildcard", "search_bits",
+                     "verify_slab", "cand_slab", "wl_factor", "exact_b",
+                     "flat_factor"),
+)
+def map_mate_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
+                     pattern_name: str, ag_wildcard: bool,
+                     search_bits: tuple,
+                     verify_slab: int = pipeline.VERIFY_SLAB_T1,
+                     cand_slab: int = pipeline.CAND_SLAB,
+                     wl_factor: int = pipeline.WL_FACTOR,
+                     exact_b: bool = False, flat_factor: int = 8):
+    """Sharded equivalent of ``pe_map.map_mate_device``.
+
+    The flat compaction is dp-LOCAL: the returned flat array is dp segments
+    of flat_factor * (B/dp) rows each, read-major within a segment; the
+    host unpacks per segment (jax_backend.map_mate_slabs).
+    """
+    from walt_tpu.ops import pe_map
+
+    def body(preads, lens, b, max_mm, tables):
+        slabs = []
+        fallback = None
+        for t, bits in zip(tables, search_bits):
+            cs, cp, cm, cc, fb = pipeline.map_strand_core(
+                preads, lens, b, max_mm, t["pseq"], t["counter"][0],
+                t["index"][0], t["key_words"][0], t["start_index"],
+                t["bucket_flagged"][0], pattern_name=pattern_name,
+                ag_wildcard=ag_wildcard, search_bits=bits,
+                verify_slab=verify_slab, cand_slab=cand_slab,
+                key_base=t["key_base"][0], wl_factor=wl_factor,
+                exact_b=exact_b,
+            )
+            m_seed, m_pos, m_mm, _, fb_any = _merge_tp(cs, cp, cm, fb,
+                                                       cand_slab)
+            slabs.append((m_seed, m_pos, m_mm))
+            fallback = fb_any if fallback is None else (fallback | fb_any)
+        return pe_map.flat_compact(slabs, fallback, flat_factor)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P(), P(), (_TABLE_SPEC, _TABLE_SPEC)),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )(preads, lens, b, max_mm, tables)
