@@ -165,3 +165,63 @@ def test_multihost_two_processes(tmp_path, work, my_index):
     assert open(o2).read() == open(s2).read()
     assert open(o1 + ".mapstats").read() == open(s1 + ".mapstats").read()
     assert open(o2 + ".mapstats").read() == open(s2 + ".mapstats").read()
+
+
+def test_multihost_two_processes(tmp_path, work, my_index):
+    """Two REAL coordinated processes (jax.distributed, localhost
+    coordinator): round-robin file assignment, per-file outputs
+    byte-identical to a single-host run, merged mapstats correct."""
+    import socket
+    import subprocess
+    import sys
+
+    f1 = _clean_fastq(work, tmp_path, 48, 21)
+    f2 = _clean_fastq(work, tmp_path, 32, 22)
+    o1, o2 = str(tmp_path / "mh1.mr"), str(tmp_path / "mh2.mr")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            WALTX_COORDINATOR=f"127.0.0.1:{port}",
+            WALTX_NUM_HOSTS="2",
+            WALTX_HOST_ID=str(pid),
+        )
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "from walt_tpu.cli import main_map\n"
+            f"main_map(['-i', {my_index!r}, '-r', {f1!r} + ',' + {f2!r}, "
+            f"'-o', {o1!r} + ',' + {o2!r}, '--backend', 'numpy', "
+            "'--multihost'])\n"
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        ))
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    # single-host reference runs
+    s1, s2 = str(tmp_path / "sh1.mr"), str(tmp_path / "sh2.mr")
+    _run_se(my_index, f1, s1)
+    _run_se(my_index, f2, s2)
+    for mh, sh in ((o1, s1), (o2, s2)):
+        assert open(mh).read() == open(sh).read()
+        assert open(mh + ".mapstats").read() == open(sh + ".mapstats").read()
+
+    merged = str(tmp_path / "mh_merged.mapstats")
+    merge_mapstats([o1 + ".mapstats", o2 + ".mapstats"], merged)
+    both = str(tmp_path / "both.fastq")
+    with open(both, "w") as f:
+        f.write(open(f1).read() + open(f2).read())
+    _run_se(my_index, both, str(tmp_path / "both.mr"))
+    assert open(merged).read() == open(
+        str(tmp_path / "both.mr.mapstats")
+    ).read()
