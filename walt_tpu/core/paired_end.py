@@ -257,7 +257,7 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
         if sam:
             fout.write(emit.sam_head(genome_meta))
 
-    from walt_tpu import native
+    from walt_tpu import native, perf
 
     use_native = (
         native.get_lib() is not None and hasattr(backend, "map_mate_slabs")
@@ -293,10 +293,11 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                 )
                 # fused: both strand tables in ONE dispatch, flat-compacted
                 # fetch (ops/pe_map) -- 2 dispatches per batch total
-                mate_streams, fb = backend.map_mate_slabs(
-                    codes, lens, tables[pi], ag_wildcard, b, max_mismatches,
-                    pattern,
-                )
+                with perf.stage("device_map"):
+                    mate_streams, fb = backend.map_mate_slabs(
+                        codes, lens, tables[pi], ag_wildcard, b,
+                        max_mismatches, pattern,
+                    )
                 slab_streams.extend(mate_streams)
                 fb_any = fb if fb_any is None else (fb_any | fb)
             else:
@@ -331,13 +332,14 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
 
         b1, b2 = batches
         if use_native:
-            fin = native.pe_finalize(
-                slab_streams, fb_any.astype(np.uint8),
-                lens_by_mate[0].astype(np.int32),
-                lens_by_mate[1].astype(np.int32),
-                genome_meta.start_index.astype(np.uint32),
-                top_k, frag_range, max_mismatches, pattern.exit1_seed,
-            )
+            with perf.stage("native_finalize"):
+                fin = native.pe_finalize(
+                    slab_streams, fb_any.astype(np.uint8),
+                    lens_by_mate[0].astype(np.int32),
+                    lens_by_mate[1].astype(np.int32),
+                    genome_meta.start_index.astype(np.uint32),
+                    top_k, frag_range, max_mismatches, pattern.exit1_seed,
+                )
             from walt_tpu.core import refmap
             from walt_tpu.host import replay as _replay
 
@@ -363,6 +365,7 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
             fb_idx = np.flatnonzero(fb_any)
             fb_ranked = {}
             if fb_idx.size:
+                _t0 = time.perf_counter()
                 per_mate = []
                 for pi, codes_ in ((0, codes1), (1, codes2)):
                     got = native.pe_exact_ranked(
@@ -386,6 +389,7 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                     fb_ranked = dict(
                         zip(fb_idx, _replay.host_map(replay_fb, fb_idx))
                     )
+                perf.add("host_fallback", time.perf_counter() - _t0)
             for j in range(n0):
                 if fb_any[j]:
                     rk = fb_ranked[j]
@@ -426,6 +430,8 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
         ms.write(stat.tostring(pattern.min_read_len) + "\n")
     if ckpt is not None:
         ckpt.save(stat, {}, pairs_done, done=True)
+    if perf.enabled():
+        perf.report(f"waltx perf PE {reads_file_1}")
     if verbose:
         print(f"mapping_time: {time.process_time() - t0}", file=sys.stderr)
     return stat

@@ -101,13 +101,15 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
         from concurrent.futures import ThreadPoolExecutor
 
         def map_batch(batch):
-            codes, lens = batch.packed()
-            v_pos, v_times, v_minus, v_mm, fb_any = backend.map_single_end(
-                codes, lens, tables, b, max_mismatches, pattern, ag_wildcard
-            )
+            with perf.stage("device_map"):
+                codes, lens = batch.packed()
+                v_pos, v_times, v_minus, v_mm, fb_any = backend.map_single_end(
+                    codes, lens, tables, b, max_mismatches, pattern,
+                    ag_wildcard
+                )
             return codes, lens, v_pos, v_times, v_minus, v_mm, fb_any
 
-        from walt_tpu import native
+        from walt_tpu import native, perf
 
         def emit_batch(batch, mapped):
             codes, lens, v_pos, v_times, v_minus, v_mm, fb_any = mapped
@@ -125,29 +127,32 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
                 )
 
             todo = np.flatnonzero(fb_any)
-            got = (
-                native.se_exact(codes[todo], lens[todo], tables, ag_wildcard,
-                                b, max_mismatches, pattern)
-                if todo.size else None
-            )
-            if got is not None:
-                v_pos[todo], v_times[todo], v_minus[todo], v_mm[todo] = got
-            else:
-                for i, bm in zip(todo, replay.host_map(replay_one, todo)):
-                    v_pos[i] = bm.genome_pos
-                    v_times[i] = bm.times
-                    v_minus[i] = bm.strand == "-"
-                    v_mm[i] = bm.mismatch
-            emit.write_single_batch(
-                v_pos, v_times, v_minus, v_mm, batch, genome_meta,
-                ag_wildcard, sam, ambiguous, unmapped, fout, famb, funm,
-                stat, pattern.min_read_len,
-            )
+            with perf.stage("host_fallback"):
+                got = (
+                    native.se_exact(codes[todo], lens[todo], tables,
+                                    ag_wildcard, b, max_mismatches, pattern)
+                    if todo.size else None
+                )
+                if got is not None:
+                    v_pos[todo], v_times[todo], v_minus[todo], v_mm[todo] = got
+                else:
+                    for i, bm in zip(todo, replay.host_map(replay_one, todo)):
+                        v_pos[i] = bm.genome_pos
+                        v_times[i] = bm.times
+                        v_minus[i] = bm.strand == "-"
+                        v_mm[i] = bm.mismatch
+            with perf.stage("host_emit"):
+                emit.write_single_batch(
+                    v_pos, v_times, v_minus, v_mm, batch, genome_meta,
+                    ag_wildcard, sam, ambiguous, unmapped, fout, famb, funm,
+                    stat, pattern.min_read_len,
+                )
 
-        with ThreadPoolExecutor(1) as ex:
+        with ThreadPoolExecutor(1) as ex, perf.profiler_trace():
             prev = None
             while True:
-                batch = load_batch(lines, batch_size, adaptor.encode())
+                with perf.stage("host_parse"):
+                    batch = load_batch(lines, batch_size, adaptor.encode())
                 n = len(batch)
                 fut = ex.submit(map_batch, batch) if n else None
                 if prev is not None:
@@ -174,6 +179,8 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
             ms.write(stat.tostring(pattern.min_read_len) + "\n")
         if ckpt is not None:
             ckpt.save(stat, {}, reads_done, done=True)
+        if perf.enabled():
+            perf.report(f"waltx perf SE {reads_file}")
         if verbose:
             print(f"mapping_time: {time.process_time() - t0}", file=sys.stderr)
         return stat
