@@ -72,13 +72,18 @@ def _prepare(cache: str, n_bases: int, n_reads: int, read_len: int,
             codes, lens, _ = sample_reads(genome, n_reads, read_len, seed=7)
             codes_to_fastq(codes, lens, fq1)
         del genome
+        gen_s = time.time() - t0
+        # index build proper: FASTA load -> 4 tables -> 5-file walt index
+        # (what the reference's makedb wall time covers)
+        t0 = time.time()
         g, tables = build_all_tables([fasta], verbose=False)
-        build_s = time.time() - t0
         write_index(index, g, tables)
+        build_s = time.time() - t0
         del g, tables
         gc.collect()
         with open(stamp, "w") as f:
-            json.dump({"index_build_s": round(build_s, 1)}, f)
+            json.dump({"index_build_s": round(build_s, 1),
+                       "datagen_s": round(gen_s, 1)}, f)
     meta = json.load(open(stamp))
     return index, fq1, (fq2 if paired else None), meta
 

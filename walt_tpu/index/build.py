@@ -152,7 +152,8 @@ def sort_buckets_numpy(genome: Genome, bucket_of: np.ndarray, idx: np.ndarray,
 
 
 def sort_buckets(genome: Genome, counter: np.ndarray, bucket_of: np.ndarray,
-                 idx: np.ndarray, pattern: SeedPattern) -> np.ndarray:
+                 idx: np.ndarray, pattern: SeedPattern,
+                 nthreads: int = 1) -> np.ndarray:
     """Within-bucket sort, preferring the native std::sort path.
 
     The native path (walt_tpu.native.sort_buckets) uses std::sort with the
@@ -173,6 +174,7 @@ def sort_buckets(genome: Genome, counter: np.ndarray, bucket_of: np.ndarray,
             np.ascontiguousarray(counter), out,
             np.ascontiguousarray(pattern.cared.astype(np.uint32)),
             int(pattern.key_weight), int(pattern.cared_size),
+            nthreads,
         ):
             return out
     except Exception:
@@ -181,12 +183,14 @@ def sort_buckets(genome: Genome, counter: np.ndarray, bucket_of: np.ndarray,
 
 
 def build_table(genome: Genome, conversion: str, pattern: SeedPattern | None = None,
-                verbose: bool = True) -> tuple:
+                verbose: bool = True, sort_threads: int = 0) -> tuple:
     """Build one converted-genome table.
 
     conversion: one of 'CT00', 'CT01', 'GA10', 'GA11' (fwd/revcomp x C2T/G2A,
     matching makedb.cpp:144-155).  Returns (converted Genome, HashTable).
     """
+    from walt_tpu import perf
+
     pattern = pattern or get_pattern("3")
     g = genome
     if conversion.endswith("1"):
@@ -194,10 +198,11 @@ def build_table(genome: Genome, conversion: str, pattern: SeedPattern | None = N
     seq = c2t(g.seq) if conversion.startswith("CT") else g2a(g.seq)
     g = dataclasses.replace(g, seq=seq)
 
-    pos = _valid_positions(g, pattern)
-    keys = seed_keys(g.seq, pos, pattern)
-    n_buckets = pattern.n_buckets
-    counts = np.bincount(keys, minlength=n_buckets).astype(np.uint32)
+    with perf.stage("index_keys"):
+        pos = _valid_positions(g, pattern)
+        keys = seed_keys(g.seq, pos, pattern)
+        n_buckets = pattern.n_buckets
+        counts = np.bincount(keys, minlength=n_buckets).astype(np.uint32)
 
     big = np.flatnonzero(counts >= EXTREMAL_BUCKET)
     if big.size:
@@ -215,9 +220,18 @@ def build_table(genome: Genome, conversion: str, pattern: SeedPattern | None = N
     np.cumsum(counts, out=counter[1:])
     # CSR fill: stable sort by key keeps position-ascending order in buckets,
     # identical to the reference's counting-sort fill (reference.cpp:231-256).
-    order = np.argsort(keys, kind="stable")
-    idx = pos[order]
-    idx = sort_buckets(g, counter, keys[order], idx, pattern)
+    with perf.stage("index_csr_argsort"):
+        order = np.argsort(keys, kind="stable")
+        idx = pos[order]
+        keys_sorted = keys[order]
+        del order, pos
+    if sort_threads <= 0:
+        import os
+
+        sort_threads = max(1, min(8, os.cpu_count() or 1))
+    with perf.stage("index_bucket_sort"):
+        idx = sort_buckets(g, counter, keys_sorted, idx, pattern,
+                           nthreads=sort_threads)
     return g, HashTable(counter=counter, index=idx)
 
 
@@ -249,12 +263,16 @@ def build_all_tables(chrom_files, pattern: SeedPattern | None = None, seed: int 
     if threads is None:
         threads = max(1, min(4, os.cpu_count() or 1))
 
+    # tables already run ``threads``-wide; bucket-sort threads fill the rest
+    sort_threads = max(1, (os.cpu_count() or 1) // threads)
+
     def one(conv):
         if verbose:
             strand = "REVERSE" if conv.endswith("1") else "FORWARD"
             kind = "C->T" if conv.startswith("CT") else "G->A"
             print(f"[BUILD INDEX FOR {strand} STRAND ({kind})]", file=sys.stderr)
-        return build_table(genome, conv, pattern, verbose=verbose)
+        return build_table(genome, conv, pattern, verbose=verbose,
+                           sort_threads=sort_threads)
 
     if threads <= 1:
         built = [one(conv) for conv in CONVERSIONS]

@@ -74,6 +74,10 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int32,
     ]
     lib.sort_buckets.restype = None
+    lib.sort_buckets_mt.argtypes = lib.sort_buckets.argtypes + [
+        ctypes.c_int32,
+    ]
+    lib.sort_buckets_mt.restype = None
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.fastq_scan.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int64, i64p, i64p, i32p,
@@ -198,11 +202,13 @@ def mr_emit(fd_main: int, fd_amb: int, fd_unm: int, buf, name_off, name_len,
 
 
 def sort_buckets(seq, chrom_start, counter, index, cared, key_weight,
-                 cared_size):
+                 cared_size, nthreads: int = 1):
     """In-place within-bucket std::sort with the reference comparator
     (reference.cpp:258-300); chromosome-end guards run before any character
-    access, so no padding is needed.  Returns False when the library is
-    unavailable."""
+    access, so no padding is needed.  Large buckets sort on packed comparator
+    columns and buckets spread over ``nthreads`` threads -- both
+    permutation-identical to the reference's introsort (see finalize.cpp).
+    Returns False when the library is unavailable."""
     lib = get_lib()
     if lib is None:
         return False
@@ -210,11 +216,13 @@ def sort_buckets(seq, chrom_start, counter, index, cared, key_weight,
     def ptr(a, ct):
         return a.ctypes.data_as(ctypes.POINTER(ct))
 
-    lib.sort_buckets(
+    if nthreads <= 0:
+        nthreads = max(1, min(8, (os.cpu_count() or 1)))
+    lib.sort_buckets_mt(
         ptr(seq, ctypes.c_uint8), ptr(chrom_start, ctypes.c_uint32),
         len(chrom_start) - 1, ptr(counter, ctypes.c_uint32),
         len(counter) - 1, ptr(index, ctypes.c_uint32),
-        ptr(cared, ctypes.c_uint32), key_weight, cared_size,
+        ptr(cared, ctypes.c_uint32), key_weight, cared_size, nthreads,
     )
     return True
 

@@ -16,8 +16,10 @@
 // length, and per-mate fallback BestMatch states, and emits MR/SAM lines.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "pq.hpp"
@@ -246,13 +248,28 @@ void pe_finalize(
 // entry's chromosome end sorting below every base.  Using std::sort (as the
 // reference does) makes the ordering of full ties introsort-identical to
 // the reference binary built with the same libstdc++.
-void sort_buckets(const uint8_t* seq, const uint32_t* chrom_start,
-                  int32_t n_chroms, const uint32_t* counter,
-                  int64_t n_buckets, uint32_t* index,
-                  const uint32_t* cared, int32_t key_weight,
-                  int32_t cared_size) {
+//
+// Two formulations with provably identical comparator OUTCOMES (so introsort
+// -- whose every decision is a comparator result -- yields the identical
+// permutation):
+//  - text: walk the cared offsets of both entries directly (the reference's
+//    own loop); best for small buckets, where comparisons are few and
+//    packing would dominate;
+//  - packed: each entry's cared bases [key_weight, cared_size) are packed
+//    once into <=3 uint64 columns, 3 bits per position (base+1, 0 past the
+//    chromosome end, first position most significant); a comparison is then
+//    <=3 word compares.  Outcome-equal to text because cared offsets are
+//    strictly increasing, so once one entry is past its chromosome end all
+//    its later positions are too and the 0 sentinel decides exactly like
+//    the reference's l1/l2 guards.
+// Buckets are independent, so they sort on a thread pool (dynamic blocks).
+void sort_buckets_mt(const uint8_t* seq, const uint32_t* chrom_start,
+                     int32_t n_chroms, const uint32_t* counter,
+                     int64_t n_buckets, uint32_t* index,
+                     const uint32_t* cared, int32_t key_weight,
+                     int32_t cared_size, int32_t nthreads) {
   ChromMap g{chrom_start, n_chroms};
-  auto cmp = [&](uint32_t p1, uint32_t p2) {
+  auto cmp_text = [&](uint32_t p1, uint32_t p2) {
     const uint8_t* s1 = seq + p1;
     const uint8_t* s2 = seq + p2;
     uint32_t l1 = chrom_start[g.chrom_of(p1) + 1] - p1;
@@ -266,11 +283,82 @@ void sort_buckets(const uint8_t* seq, const uint32_t* chrom_start,
     }
     return false;
   };
-  for (int64_t i = 0; i < n_buckets; ++i) {
-    uint32_t lo = counter[i], hi = counter[i + 1];
-    if (hi - lo <= 1) continue;
-    std::sort(index + lo, index + hi, cmp);
+
+  struct Row {
+    uint64_t c[3];
+    uint32_t pos;
+  };
+  const int32_t npos = cared_size - key_weight;  // <= 48
+  const int32_t ncols = (npos + 15) / 16;
+
+  std::atomic<int64_t> next(0);
+  const int64_t BLOCK = 8192;
+  auto worker = [&]() {
+    std::vector<Row> rows;
+    for (;;) {
+      int64_t b0 = next.fetch_add(BLOCK);
+      if (b0 >= n_buckets) return;
+      int64_t b1 = b0 + BLOCK < n_buckets ? b0 + BLOCK : n_buckets;
+      for (int64_t i = b0; i < b1; ++i) {
+        uint32_t lo = counter[i], hi = counter[i + 1];
+        uint32_t sz = hi - lo;
+        if (sz <= 1) continue;
+        if (sz <= 24) {  // packing overhead beats comparison savings
+          std::sort(index + lo, index + hi, cmp_text);
+          continue;
+        }
+        rows.resize(sz);
+        for (uint32_t k = 0; k < sz; ++k) {
+          uint32_t pos = index[lo + k];
+          uint32_t l = chrom_start[g.chrom_of(pos) + 1] - pos;
+          Row& r = rows[k];
+          r.pos = pos;
+          r.c[0] = r.c[1] = r.c[2] = 0;
+          const uint8_t* s = seq + pos;
+          for (int32_t j = 0; j < npos; ++j) {
+            uint32_t off = cared[key_weight + j];
+            uint64_t v = off < l ? (uint64_t)(s[off] + 1) : 0;
+            r.c[j >> 4] |= v << (61 - 3 * (j & 15));
+          }
+        }
+        if (ncols == 1) {
+          std::sort(rows.begin(), rows.end(),
+                    [](const Row& a, const Row& b) { return a.c[0] < b.c[0]; });
+        } else if (ncols == 2) {
+          std::sort(rows.begin(), rows.end(), [](const Row& a, const Row& b) {
+            if (a.c[0] != b.c[0]) return a.c[0] < b.c[0];
+            return a.c[1] < b.c[1];
+          });
+        } else {
+          std::sort(rows.begin(), rows.end(), [](const Row& a, const Row& b) {
+            if (a.c[0] != b.c[0]) return a.c[0] < b.c[0];
+            if (a.c[1] != b.c[1]) return a.c[1] < b.c[1];
+            return a.c[2] < b.c[2];
+          });
+        }
+        for (uint32_t k = 0; k < sz; ++k) index[lo + k] = rows[k].pos;
+      }
+    }
+  };
+
+  int nt = nthreads < 1 ? 1 : nthreads;
+  if (nt == 1) {
+    worker();
+    return;
   }
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  for (int t = 0; t < nt; ++t) ts.emplace_back(worker);
+  for (auto& th : ts) th.join();
+}
+
+void sort_buckets(const uint8_t* seq, const uint32_t* chrom_start,
+                  int32_t n_chroms, const uint32_t* counter,
+                  int64_t n_buckets, uint32_t* index,
+                  const uint32_t* cared, int32_t key_weight,
+                  int32_t cared_size) {
+  sort_buckets_mt(seq, chrom_start, n_chroms, counter, n_buckets, index,
+                  cared, key_weight, cared_size, 1);
 }
 
 }  // extern "C"

@@ -86,7 +86,8 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
                     verify_slab: int = VERIFY_SLAB_T1,
                     cand_slab: int = CAND_SLAB,
                     key_base=None, seeds: tuple | None = None,
-                    wl_factor: int = WL_FACTOR, exact_b: bool = False):
+                    wl_factor: int = WL_FACTOR, exact_b: bool = False,
+                    stage_out: str | None = None):
     """Map a read batch against one table (trace-level core).
 
     preads: (B, W) uint32 packed read codes; lens: (B,) int32; pseq: packed
@@ -169,6 +170,13 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         hi = jnp.where(in_range, jnp.take(counter, lidx + 1).astype(jnp.int32), 0)
         flagged = in_range & ((jnp.take(bucket_flagged, lidx) & fbit) != 0)
 
+    # stage_out: profiling hook (tools/device_profile.py).  Returning a tiny
+    # checksum right after a stage lets XLA dead-code-eliminate everything
+    # downstream, so timing the truncated programs yields a per-stage cost
+    # breakdown of the REAL compiled pipeline (not a re-implementation).
+    if stage_out == "keys":
+        return jnp.sum(lo) + jnp.sum(hi) + jnp.sum(flagged)
+
     # --- read prefix key words (cared[kw..kw+47] per shift) + masks ---
     # words actually probed: reads fitting W packed words cannot have a
     # seed_len past seed_len_for_len(W*16), so deeper key words are always
@@ -230,6 +238,8 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
 
     # first entry >= read prefix: the refined run starts here
     lower, _ = jax.lax.fori_loop(0, search_bits, body, (lo, hi))
+    if stage_out == "search":
+        return jnp.sum(lower)
 
     # --- slab membership from the SAME packed lookup keys the probes read:
     # an entry is in the reference's refined equal range iff its cared bases
@@ -255,6 +265,9 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     # a capped seed is skipped no matter how long the run really is, so a
     # partial count > b is already exact and needs no larger slab
     overflow = (refined_cnt == examined) & ((hi - lower) > C) & ~capped
+
+    if stage_out == "membership":
+        return jnp.sum(refined_cnt) + jnp.sum(overflow)
 
     keep_pre = (
         refined
@@ -297,6 +310,10 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     wl_gpos = wl_entry - wl_shift
     wl_len = jnp.take(lens, wl_read)
     ok_tail = (wl_gpos + wl_len) < ch_end  # mapping.cpp:285 ('>=' skips)
+
+    if stage_out == "worklist":
+        return (jnp.sum(wl_gpos) + jnp.sum(ok_head) + jnp.sum(ok_tail)
+                + jnp.sum(wl_spill))
 
     # converted read words + length lane masks for the worklist rows
     conv_flat = conv.reshape(-1)
@@ -343,6 +360,8 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
             mm = mm - cond.astype(jnp.int32)
 
     wl_keep = wl_valid & ok_head & ok_tail & (mm <= max_mm)
+    if stage_out == "verify":
+        return jnp.sum(mm) + jnp.sum(wl_keep)
 
     if not exact_b and npw > 1:
         # Window cared check: a fast-path worklist row is only known to
@@ -418,6 +437,29 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         | wl_spill
     )
     return cand_seed, cand_pos, cand_mm, jnp.minimum(cand_cnt, cand_slab), fallback
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pattern_name", "ag_wildcard", "search_bits", "verify_slab",
+        "cand_slab", "seeds", "wl_factor", "exact_b", "stage_out",
+    ),
+)
+def map_strand_stage(preads, lens, b, max_mm, pseq, counter, index, key_words,
+                     start_index, bucket_flagged, *, pattern_name: str,
+                     ag_wildcard: bool, search_bits: int, stage_out: str,
+                     verify_slab: int = VERIFY_SLAB_T1,
+                     cand_slab: int = CAND_SLAB, seeds: tuple | None = None,
+                     wl_factor: int = WL_FACTOR, exact_b: bool = False):
+    """Stage-truncated pipeline for device profiling (tools/device_profile)."""
+    return map_strand_core(
+        preads, lens, b, max_mm, pseq, counter, index, key_words,
+        start_index, bucket_flagged, pattern_name=pattern_name,
+        ag_wildcard=ag_wildcard, search_bits=search_bits,
+        verify_slab=verify_slab, cand_slab=cand_slab, seeds=seeds,
+        wl_factor=wl_factor, exact_b=exact_b, stage_out=stage_out,
+    )
 
 
 @functools.partial(

@@ -177,6 +177,23 @@ def sample_pairs(genome: Genome, n: int, length: int, seed: int = 1,
 
 def codes_to_fastq(codes: np.ndarray, lens: np.ndarray, path: str,
                    name_prefix: str = "r") -> None:
+    from walt_tpu.constants import CODE_TO_BASE
+
+    n, L = codes.shape
+    if n and int(lens.min()) == int(lens.max()):
+        # uniform length: decode whole chunks at once and join bytes rows
+        # (a per-read decode loop costs minutes at bench scale)
+        qual = b"\n+\n" + b"I" * L + b"\n"
+        with open(path, "wb") as f:
+            for a in range(0, n, 262_144):
+                z = min(a + 262_144, n)
+                rows = CODE_TO_BASE[codes[a:z]].tobytes()
+                f.write(b"".join(
+                    b"@%s%d\n" % (name_prefix.encode(), a + j)
+                    + rows[j * L : (j + 1) * L] + qual
+                    for j in range(z - a)
+                ))
+        return
     from walt_tpu.genome import decode_to_bytes
 
     with open(path, "w") as f:
