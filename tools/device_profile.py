@@ -88,14 +88,16 @@ def main() -> int:
     triv = jax.jit(lambda x: x[:1, :1])
     results["rtt"] = _time(lambda: np.asarray(triv(pc)))
 
-    stages = ["keys", "search", "membership", "worklist", "verify"]
+    stages = [] if os.environ.get("WALTX_PROF_QUICK") else [
+        "keys", "search", "membership", "worklist", "verify"]
     for st in stages:
         results[st] = _time(lambda st=st: np.asarray(
             pipeline.map_strand_stage(
                 *args0, search_bits=bits[0], stage_out=st, **kw)))
     # one full strand (compaction included)
-    results["strand"] = _time(lambda: jax.block_until_ready(
-        pipeline.map_strand_device(*args0, search_bits=bits[0], **kw)))
+    if stages:
+        results["strand"] = _time(lambda: jax.block_until_ready(
+            pipeline.map_strand_device(*args0, search_bits=bits[0], **kw)))
     # the full fused SE program (both strands + device fold), phase-B shape
     results["full_se"] = _time(lambda: np.asarray(
         se_fold.map_single_end_device(
@@ -114,17 +116,19 @@ def main() -> int:
         "seconds": {k: round(v, 5) for k, v in results.items()},
     }
     # differential per-stage costs for one strand pass
-    diffs, prev = {}, results["rtt"]
-    for st in stages + ["strand"]:
-        diffs[st] = round(results[st] - prev, 5)
-        prev = results[st]
-    out["stage_delta_s"] = diffs
+    if stages:
+        diffs, prev = {}, results["rtt"]
+        for st in stages + ["strand"]:
+            diffs[st] = round(results[st] - prev, 5)
+            prev = results[st]
+        out["stage_delta_s"] = diffs
     out["us_per_read_full_se"] = round(1e6 * results["full_se"] / chunk, 3)
 
     print(json.dumps(out, indent=1), file=sys.stderr)
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "DEVPROF.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    if stages:  # quick chunk-scaling runs don't clobber the full breakdown
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(here, "DEVPROF.json"), "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps({"us_per_read_full_se": out["us_per_read_full_se"]}))
     return 0
 

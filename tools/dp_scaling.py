@@ -23,8 +23,13 @@ import time
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
+    # one XLA intra-op thread per virtual device: otherwise every virtual
+    # device fans its ops over ALL cores and N-device runs just time-slice
+    # the same pool (round-1 SCALING.json measured that, not dp scaling)
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
+        " --xla_cpu_multi_thread_eigen=false"
+        " intra_op_parallelism_threads=1"
     ).strip()
 
 import jax  # noqa: E402
@@ -49,11 +54,16 @@ def main() -> int:
               for c in ("CT00", "CT01")]
     codes, lens, _ = sample_reads(genome, n_reads, 100, seed=5)
 
+    # virtual devices beyond the physical core count (4 here) would
+    # time-slice cores and measure the host, not the partitioning
+    import multiprocessing
+
+    ncores = multiprocessing.cpu_count()
     results = []
     base = None
     for nd in (1, 2, 4, 8):
         devs = jax.devices()[:nd]
-        if len(devs) < nd:
+        if len(devs) < nd or nd > ncores:
             break
         backend = JaxBackend(
             mesh=make_mesh(devs, tp=1) if nd > 1 else None,

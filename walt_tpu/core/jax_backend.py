@@ -50,7 +50,7 @@ def _enable_compile_cache():
 class JaxBackend:
     name = "jax"
 
-    def __init__(self, chunk: int = 65536, small_chunk: int = 2048,
+    def __init__(self, chunk: int = 131072, small_chunk: int = 2048,
                  len_pad: int = 16,
                  verify_slab: int = pipeline.VERIFY_SLAB,
                  cand_slab: int = pipeline.CAND_SLAB,

@@ -375,36 +375,52 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                     )
                     per_mate.append(got)
                 if all(g is not None for g in per_mate):
-                    for jj, j in enumerate(fb_idx):
-                        rk = []
-                        for cnt, mmv, posv, stv in per_mate:
-                            k = int(cnt[jj])
-                            rk.append([
-                                (int(mmv[jj, q]), int(posv[jj, q]),
-                                 strands[stv[jj, q]])
-                                for q in range(k)
-                            ])
-                        fb_ranked[int(j)] = rk
+                    # join the exact ranked lists natively and scatter the
+                    # verdicts into the batch arrays: fallback pairs then
+                    # ride the same batched emission as everyone else
+                    sub = native.pe_join_ranked(
+                        per_mate[0], per_mate[1],
+                        lens_by_mate[0][fb_idx], lens_by_mate[1][fb_idx],
+                        genome_meta.start_index.astype(np.uint32),
+                        frag_range, max_mismatches, top_k,
+                    )
+                    for kk in ("code", "frag", "r1_mm", "r1_pos", "r1_strand",
+                               "r2_mm", "r2_pos", "r2_strand"):
+                        fin[kk][fb_idx] = sub[kk]
+                    for kk in ("bm_pos", "bm_times", "bm_strand", "bm_mm"):
+                        fin[kk].reshape(-1, 2)[fb_idx] = (
+                            sub[kk].reshape(-1, 2)
+                        )
                 else:
                     fb_ranked = dict(
                         zip(fb_idx, _replay.host_map(replay_fb, fb_idx))
                     )
                 perf.add("host_fallback", time.perf_counter() - _t0)
-            for j in range(n0):
-                if fb_any[j]:
-                    rk = fb_ranked[j]
-                    merge_pair(
-                        genome_meta, rk[0], rk[1], b1.names[j],
-                        b1.seqs[j], b1.quals[j], b2.seqs[j], b2.quals[j],
-                        frag_range, max_mismatches, sam, stat, fouts, pattern,
-                        pbat=pbat,
+            emitted = False
+            if not sam and not fb_ranked:
+                with perf.stage("host_emit"):
+                    emitted = emit_paired.write_pair_batch(
+                        genome_meta, fin, b1, b2, lens_by_mate[0],
+                        lens_by_mate[1], frag_range, stat, fouts, pbat,
                     )
-                else:
-                    _emit_pair_finalized(
-                        genome_meta, j, fin, b1.names[j], b1.seqs[j],
-                        b1.quals[j], b2.seqs[j], b2.quals[j], frag_range,
-                        max_mismatches, sam, stat, fouts, pbat=pbat,
-                    )
+            if not emitted:
+                with perf.stage("host_emit"):
+                    for j in range(n0):
+                        if fb_any[j] and fb_ranked:
+                            rk = fb_ranked[j]
+                            merge_pair(
+                                genome_meta, rk[0], rk[1], b1.names[j],
+                                b1.seqs[j], b1.quals[j], b2.seqs[j],
+                                b2.quals[j], frag_range, max_mismatches, sam,
+                                stat, fouts, pattern, pbat=pbat,
+                            )
+                        else:
+                            _emit_pair_finalized(
+                                genome_meta, j, fin, b1.names[j], b1.seqs[j],
+                                b1.quals[j], b2.seqs[j], b2.quals[j],
+                                frag_range, max_mismatches, sam, stat, fouts,
+                                pbat=pbat,
+                            )
         else:
             for j in range(n0):
                 merge_pair(

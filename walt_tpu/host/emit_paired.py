@@ -82,6 +82,95 @@ def best_paired_mr(genome: Genome, r1, r2, frag_range: int, name: str,
     return frag_len
 
 
+def write_pair_batch(genome: Genome, fin, b1, b2, lens1, lens2,
+                     frag_range: int, stat, fouts, pbat: bool) -> bool:
+    """Vectorized + native batch emission for the device PE path (MR mode).
+
+    Byte-identical to driving :func:`best_paired_mr` / ``emit.single_mr``
+    per pair from the finalizer's arrays: chromosome mapping and coordinate
+    flips run once over the batch (NumPy), line splicing/formatting in
+    walt_tpu.native (fastio.cpp pe_emit_batch).  Returns False when the
+    native batch data or library is unavailable (caller falls back to the
+    per-pair loop).
+    """
+    import numpy as np
+
+    from walt_tpu import native
+
+    if b1.native is None or b2.native is None or native.get_lib() is None:
+        return False
+
+    code = fin["code"]
+    n = code.shape[0]
+    start_index = genome.start_index.astype(np.int64)
+    glens = genome.lengths.astype(np.int64)
+
+    def fwd(pos, minus, ln):
+        p = pos.astype(np.int64)
+        chrid = np.searchsorted(start_index, p, side="right") - 1
+        s = p - start_index[chrid]
+        s = np.where(minus, glens[chrid] - s - ln, s)
+        return np.ascontiguousarray(chrid.astype(np.int32)), s
+
+    l1 = lens1.astype(np.int64)
+    l2 = lens2.astype(np.int64)
+    # unique pairs: forward-chrom spans of both mates (paired.cpp:98-104)
+    chr1u, s1 = fwd(fin["r1_pos"], fin["r1_strand"] != 0, l1)
+    _, s2 = fwd(fin["r2_pos"], fin["r2_strand"] != 0, l2)
+    plus = np.ascontiguousarray((fin["r1_strand"] == 0).view(np.uint8))
+    # non-unique pairs: per-mate BestMatch display coordinates
+    bmp = fin["bm_pos"].reshape(n, 2)
+    bms = fin["bm_strand"].reshape(n, 2)
+    bmt = fin["bm_times"].reshape(n, 2)
+    bmm = fin["bm_mm"].reshape(n, 2)
+    c1s, st1 = fwd(bmp[:, 0], bms[:, 0] != 0, l1)
+    c2s, st2 = fwd(bmp[:, 1], bms[:, 1] != 0, l2)
+
+    # --- stats, vectorized (identical to the per-pair updates) ---
+    uniq = code == 0
+    nu = ~uniq
+    stat.unique_pairs += int(uniq.sum())
+    stat.ambiguous_pairs += int((code == 1).sum())
+    stat.unmapped_pairs += int((code == 2).sum())
+    fr = fin["frag"][uniq]
+    if fr.size:
+        np.add.at(stat.frag_len_count, fr, 1)
+    for mate_stat, tcol in ((stat.mate1, bmt[nu, 0]), (stat.mate2, bmt[nu, 1])):
+        mate_stat.total_reads += int(tcol.size)
+        mate_stat.unmapped += int((tcol == 0).sum())
+        mate_stat.unique += int((tcol == 1).sum())
+        mate_stat.ambiguous += int((tcol >= 2).sum())
+
+    cnames = [s.encode() for s in genome.names]
+    clen = np.asarray([len(s) for s in cnames], dtype=np.int32)
+    coff = np.zeros(len(cnames), dtype=np.int64)
+    if len(cnames) > 1:
+        np.cumsum(clen[:-1], out=coff[1:])
+    blob = np.frombuffer(b"".join(cnames), dtype=np.uint8)
+
+    handles = [fouts["out"], fouts["amb1"], fouts["unm1"], fouts["amb2"],
+               fouts["unm2"]]
+    fds = []
+    for h in handles:
+        if h is None:
+            fds.append(-1)
+        else:
+            h.flush()
+            fds.append(h.fileno())
+
+    c = np.ascontiguousarray
+    return native.pe_emit(
+        fds, b1.native, b2.native,
+        c(lens1, dtype=np.int32), c(lens2, dtype=np.int32), fin,
+        (chr1u, c(s1), c(s1 + l1), c(s2), c(s2 + l2), plus),
+        ((c(bmt[:, 0]), c(st1), c1s, c(bmm[:, 0]),
+          c(bms[:, 0]).view(np.uint8)),
+         (c(bmt[:, 1]), c(st2), c2s, c(bmm[:, 1]),
+          c(bms[:, 1]).view(np.uint8))),
+        (blob, coff, clen), frag_range, pbat,
+    )
+
+
 def sam_flag(paired, paired_mapped, unmapped, next_unmapped, rev, next_rev,
              first, last, secondary) -> int:
     """GetSAMFLAG (paired.cpp:80-95)."""

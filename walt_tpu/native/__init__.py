@@ -123,6 +123,34 @@ def get_lib():
         i32p, i32p, u32p, u8p,
     ]
     lib.pe_exact_ranked.restype = None
+    lib.pe_join_ranked.argtypes = [
+        ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, u32p, u8p,
+        i32p, i32p, u32p, u8p,
+        i32p, i32p,
+        u32p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        u8p, i32p,
+        i32p, u32p, u8p,
+        i32p, u32p, u8p,
+        u32p, i32p, u8p, i32p,
+    ]
+    lib.pe_join_ranked.restype = None
+    i64p_ = ctypes.POINTER(ctypes.c_int64)
+    lib.pe_emit_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        u8p, i64p_, i32p, i64p_, i32p, u8p, ctypes.c_int32, i32p,
+        u8p, i64p_, i32p, u8p, ctypes.c_int32, i32p,
+        u8p,
+        i32p, i64p_, i64p_, i64p_, i64p_, u8p,
+        i32p, i32p, i32p,
+        i32p, i64p_, i32p, i32p, u8p,
+        i32p, i64p_, i32p, i32p, u8p,
+        u8p, i64p_, i32p,
+        ctypes.c_int32, ctypes.c_int,
+    ]
+    lib.pe_emit_batch.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -327,6 +355,111 @@ def pe_exact_ranked(codes, lens, tables, ag_wildcard: bool, b: int,
         _ptr(out_pos, ctypes.c_uint32), _ptr(out_strand, ctypes.c_uint8),
     )
     return out_n, out_mm, out_pos, out_strand
+
+
+def pe_join_ranked(ranked1, ranked2, len1, len2, chrom_start, frag_range,
+                   max_mm, top_k):
+    """Join pre-drained ranked candidate lists of both mates (finalize.cpp).
+
+    ``ranked1/ranked2``: the (cnt, mm, pos, strand) tuples returned by
+    :func:`pe_exact_ranked` for each mate.  Returns the same dict layout as
+    :func:`pe_finalize`, or None when the library is unavailable.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    cnt1, mm1, pos1, st1 = ranked1
+    cnt2, mm2, pos2, st2 = ranked2
+    n = cnt1.shape[0]
+    out = dict(
+        code=np.zeros(n, dtype=np.uint8),
+        frag=np.zeros(n, dtype=np.int32),
+        r1_mm=np.zeros(n, dtype=np.int32),
+        r1_pos=np.zeros(n, dtype=np.uint32),
+        r1_strand=np.zeros(n, dtype=np.uint8),
+        r2_mm=np.zeros(n, dtype=np.int32),
+        r2_pos=np.zeros(n, dtype=np.uint32),
+        r2_strand=np.zeros(n, dtype=np.uint8),
+        bm_pos=np.zeros(2 * n, dtype=np.uint32),
+        bm_times=np.zeros(2 * n, dtype=np.int32),
+        bm_strand=np.zeros(2 * n, dtype=np.uint8),
+        bm_mm=np.zeros(2 * n, dtype=np.int32),
+    )
+    len1 = np.ascontiguousarray(len1.astype(np.int32))
+    len2 = np.ascontiguousarray(len2.astype(np.int32))
+    chrom_start = np.ascontiguousarray(chrom_start)
+    lib.pe_join_ranked(
+        n, int(top_k),
+        _ptr(cnt1, ctypes.c_int32), _ptr(mm1, ctypes.c_int32),
+        _ptr(pos1, ctypes.c_uint32), _ptr(st1, ctypes.c_uint8),
+        _ptr(cnt2, ctypes.c_int32), _ptr(mm2, ctypes.c_int32),
+        _ptr(pos2, ctypes.c_uint32), _ptr(st2, ctypes.c_uint8),
+        _ptr(len1, ctypes.c_int32), _ptr(len2, ctypes.c_int32),
+        _ptr(chrom_start, ctypes.c_uint32), len(chrom_start) - 1,
+        int(frag_range), int(max_mm),
+        _ptr(out["code"], ctypes.c_uint8), _ptr(out["frag"], ctypes.c_int32),
+        _ptr(out["r1_mm"], ctypes.c_int32), _ptr(out["r1_pos"], ctypes.c_uint32),
+        _ptr(out["r1_strand"], ctypes.c_uint8),
+        _ptr(out["r2_mm"], ctypes.c_int32), _ptr(out["r2_pos"], ctypes.c_uint32),
+        _ptr(out["r2_strand"], ctypes.c_uint8),
+        _ptr(out["bm_pos"], ctypes.c_uint32), _ptr(out["bm_times"], ctypes.c_int32),
+        _ptr(out["bm_strand"], ctypes.c_uint8), _ptr(out["bm_mm"], ctypes.c_int32),
+    )
+    return out
+
+
+def pe_emit(fds, batch1, batch2, lens1, lens2, fin, unique_coords,
+            single_coords, chr_blob, frag_range, pbat) -> bool:
+    """Native batched PE MR emission (fastio.cpp pe_emit_batch).
+
+    ``fds``: (main, amb1, unm1, amb2, unm2) raw fds, -1 for absent files.
+    ``batch1/batch2``: the ``.native`` tuples of the two mate batches.
+    ``unique_coords``: (uchr, s1, e1, s2, e2, plus) int64/int32/uint8 arrays.
+    ``single_coords``: per mate (times, start, chr, mm, minus).
+    ``chr_blob``: (names u8 blob, off i64, len i32).  False when unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return False
+    buf1, noff1, nlen1, qoff1, qlen1, seqb1 = batch1
+    buf2, _, _, qoff2, qlen2, seqb2 = batch2
+    import numpy as np
+
+    b1 = np.frombuffer(buf1, dtype=np.uint8)
+    b2 = np.frombuffer(buf2, dtype=np.uint8)
+    n, lmax1 = seqb1.shape
+    lmax2 = seqb2.shape[1]
+    uchr, s1, e1, s2, e2, plus = unique_coords
+    (t1, st1, c1, m1, mi1), (t2, st2, c2, m2, mi2) = single_coords
+    blob, coff, clen = chr_blob
+    rc = lib.pe_emit_batch(
+        n, *[int(f) for f in fds],
+        _ptr(b1, ctypes.c_uint8), _ptr(noff1, ctypes.c_int64),
+        _ptr(nlen1, ctypes.c_int32), _ptr(qoff1, ctypes.c_int64),
+        _ptr(qlen1, ctypes.c_int32), _ptr(seqb1, ctypes.c_uint8),
+        lmax1, _ptr(lens1, ctypes.c_int32),
+        _ptr(b2, ctypes.c_uint8), _ptr(qoff2, ctypes.c_int64),
+        _ptr(qlen2, ctypes.c_int32), _ptr(seqb2, ctypes.c_uint8),
+        lmax2, _ptr(lens2, ctypes.c_int32),
+        _ptr(fin["code"], ctypes.c_uint8),
+        _ptr(uchr, ctypes.c_int32), _ptr(s1, ctypes.c_int64),
+        _ptr(e1, ctypes.c_int64), _ptr(s2, ctypes.c_int64),
+        _ptr(e2, ctypes.c_int64), _ptr(plus, ctypes.c_uint8),
+        _ptr(fin["r1_mm"], ctypes.c_int32), _ptr(fin["r2_mm"], ctypes.c_int32),
+        _ptr(fin["frag"], ctypes.c_int32),
+        _ptr(t1, ctypes.c_int32), _ptr(st1, ctypes.c_int64),
+        _ptr(c1, ctypes.c_int32), _ptr(m1, ctypes.c_int32),
+        _ptr(mi1, ctypes.c_uint8),
+        _ptr(t2, ctypes.c_int32), _ptr(st2, ctypes.c_int64),
+        _ptr(c2, ctypes.c_int32), _ptr(m2, ctypes.c_int32),
+        _ptr(mi2, ctypes.c_uint8),
+        _ptr(blob, ctypes.c_uint8), _ptr(coff, ctypes.c_int64),
+        _ptr(clen, ctypes.c_int32),
+        int(frag_range), 1 if pbat else 0,
+    )
+    return rc == 0
 
 
 def pe_finalize(streams, skip, len1, len2, chrom_start, top_k, frag_range,

@@ -324,4 +324,211 @@ int mr_emit_batch(int64_t n, int fd_main, int fd_amb, int fd_unm,
   return write_err;
 }
 
+// Batched paired-end MR emission (the per-pair loop of
+// core/paired_end.process_paired_end): for each pair either the merged
+// FRAG record (OutputBestPairedResults, paired.cpp:210-294) or the two
+// per-mate single records (OutputSingleResults, mapping.cpp:358-380, with
+// mate 2 A/G-wildcard so its seq/qual report reverse-complemented).  All
+// pair verdicts and forward-chromosome coordinates are precomputed
+// (vectorized) by the caller; this function only splices bytes and formats
+// lines.  Returns 0, or -1 on a write error.
+int pe_emit_batch(
+    int64_t n, int fd_main, int fd_amb1, int fd_unm1, int fd_amb2,
+    int fd_unm2,
+    // mate 1 batch (names + quals in buf1, seq text rows in seqb1)
+    const uint8_t* buf1, const int64_t* noff1, const int32_t* nlen1,
+    const int64_t* qoff1, const int32_t* qlen1, const uint8_t* seqb1,
+    int32_t lmax1, const int32_t* len1,
+    // mate 2 batch
+    const uint8_t* buf2, const int64_t* qoff2, const int32_t* qlen2,
+    const uint8_t* seqb2, int32_t lmax2, const int32_t* len2,
+    const uint8_t* code,  // 0 unique, 1 ambiguous, 2 unmapped
+    // unique pairs: forward-chrom coords of both mates + r1 strand
+    const int32_t* uchr, const int64_t* s1, const int64_t* e1,
+    const int64_t* s2, const int64_t* e2, const uint8_t* plus,
+    const int32_t* r1mm, const int32_t* r2mm, const int32_t* frag,
+    // non-unique pairs: per-mate BestMatch display data
+    const int32_t* times1, const int64_t* start1, const int32_t* chr1,
+    const int32_t* mm1, const uint8_t* minus1,
+    const int32_t* times2, const int64_t* start2, const int32_t* chr2,
+    const int32_t* mm2, const uint8_t* minus2,
+    const uint8_t* chr_names, const int64_t* chr_off, const int32_t* chr_len,
+    int32_t frag_range, int pbat) {
+  constexpr size_t kFlushAt = size_t{4} << 20;
+  static std::string main_s, amb1_s, unm1_s, amb2_s, unm2_s;
+  main_s.clear();
+  amb1_s.clear();
+  unm1_s.clear();
+  amb2_s.clear();
+  unm2_s.clear();
+  int write_err = 0;
+  auto flush = [&](int fd, std::string& s) {
+    if (direct_write(fd, s.data(), s.size()) < 0) write_err = -1;
+    s.clear();
+  };
+  char num[32];
+  auto put_num = [&](std::string& out, long long v) {
+    out.append(num, snprintf(num, sizeof num, "%lld", v));
+  };
+  auto rc = [](uint8_t b) -> uint8_t {
+    return b == 'A' ? 'T' : b == 'C' ? 'G' : b == 'G' ? 'C'
+           : b == 'T' ? 'A' : b;
+  };
+  // merged fragment + per-mate revcomp scratch
+  static std::vector<uint8_t> fseq, fqual, rbuf;
+  fseq.reserve(4096);
+  fqual.reserve(4096);
+  rbuf.resize(static_cast<size_t>(lmax1 > lmax2 ? lmax1 : lmax2) + kMaxLine);
+
+  // one mate's single record (emit.single_mr): ag-wildcard mates report
+  // revcomp(seq) / reversed qual and a flipped strand character
+  auto single = [&](int64_t j, int mate, std::string* main, std::string* amb,
+                    std::string* unm) {
+    bool ag = (mate == 2) != (pbat != 0);
+    int32_t t = mate == 1 ? times1[j] : times2[j];
+    std::string* out = t == 0 ? unm : (t == 1 ? main : amb);
+    if (out == nullptr) return;
+    const uint8_t* seq = (mate == 1 ? seqb1 : seqb2) +
+                         j * (mate == 1 ? lmax1 : lmax2);
+    const uint8_t* qual = (mate == 1 ? buf1 : buf2) +
+                          (mate == 1 ? qoff1 : qoff2)[j];
+    int32_t sl = (mate == 1 ? len1 : len2)[j];
+    int32_t ql = (mate == 1 ? qlen1 : qlen2)[j];
+    uint8_t* rs = rbuf.data();
+    uint8_t* rq = rbuf.data() + (mate == 1 ? lmax1 : lmax2);
+    if (ag) {
+      for (int32_t k = 0; k < sl; ++k) rs[k] = rc(seq[sl - 1 - k]);
+      for (int32_t k = 0; k < ql; ++k) rq[k] = qual[ql - 1 - k];
+      seq = rs;
+      qual = rq;
+    }
+    if (t == 0) {
+      out->append(reinterpret_cast<const char*>(buf1 + noff1[j]), nlen1[j]);
+      out->push_back('\t');
+      out->append(reinterpret_cast<const char*>(seq), sl);
+      out->push_back('\t');
+      out->append(reinterpret_cast<const char*>(qual), ql);
+      out->push_back('\n');
+      return;
+    }
+    bool neg = (mate == 1 ? minus1 : minus2)[j] != 0;
+    char strand = ag ? (neg ? '+' : '-') : (neg ? '-' : '+');
+    int32_t c = (mate == 1 ? chr1 : chr2)[j];
+    int64_t st = (mate == 1 ? start1 : start2)[j];
+    out->append(reinterpret_cast<const char*>(chr_names + chr_off[c]),
+                chr_len[c]);
+    out->push_back('\t');
+    put_num(*out, st);
+    out->push_back('\t');
+    put_num(*out, st + sl);
+    out->push_back('\t');
+    out->append(reinterpret_cast<const char*>(buf1 + noff1[j]), nlen1[j]);
+    out->push_back('\t');
+    put_num(*out, (mate == 1 ? mm1 : mm2)[j]);
+    out->push_back('\t');
+    out->push_back(strand);
+    out->push_back('\t');
+    out->append(reinterpret_cast<const char*>(seq), sl);
+    out->push_back('\t');
+    out->append(reinterpret_cast<const char*>(qual), ql);
+    out->push_back('\n');
+  };
+
+  for (int64_t j = 0; j < n; ++j) {
+    if (main_s.size() > kFlushAt) flush(fd_main, main_s);
+    if (amb1_s.size() > kFlushAt) flush(fd_amb1, amb1_s);
+    if (unm1_s.size() > kFlushAt) flush(fd_unm1, unm1_s);
+    if (amb2_s.size() > kFlushAt) flush(fd_amb2, amb2_s);
+    if (unm2_s.size() > kFlushAt) flush(fd_unm2, unm2_s);
+    if (code[j] != 0) {
+      single(j, 1, &main_s, fd_amb1 >= 0 ? &amb1_s : nullptr,
+             fd_unm1 >= 0 ? &unm1_s : nullptr);
+      single(j, 2, &main_s, fd_amb2 >= 0 ? &amb2_s : nullptr,
+             fd_unm2 >= 0 ? &unm2_s : nullptr);
+      continue;
+    }
+    // unique pair: merged fragment (OutputBestPairedResults)
+    int64_t S1 = s1[j], E1 = e1[j], S2 = s2[j], E2 = e2[j];
+    bool pl = plus[j] != 0;
+    int64_t ov_s = S1 > S2 ? S1 : S2, ov_e = E1 < E2 ? E1 : E2;
+    int64_t one_l = pl ? S1 : (ov_e > S1 ? ov_e : S1);
+    int64_t one_r = pl ? (ov_s < E1 ? ov_s : E1) : E1;
+    int64_t two_l = pl ? (ov_e > S2 ? ov_e : S2) : S2;
+    int64_t two_r = pl ? E2 : (ov_s < E2 ? ov_s : E2);
+    int64_t fl = frag[j];
+    int64_t show = fl > 0 ? fl : 0;
+    fseq.assign(show, 'N');
+    fqual.assign(show, 'B');
+    const uint8_t* q1 = buf1 + qoff1[j];
+    const uint8_t* q2 = buf2 + qoff2[j];
+    const uint8_t* sq1 = seqb1 + j * lmax1;
+    const uint8_t* sq2 = seqb2 + j * lmax2;
+    int32_t L1 = len1[j], L2 = len2[j];
+    if (fl > 0 && fl <= frag_range) {
+      int64_t lim_one = one_r - one_l;
+      for (int64_t k = 0; k < lim_one; ++k) {
+        fseq[k] = sq1[k];
+        fqual[k] = q1[k];
+      }
+      int64_t lim_two = two_r - two_l;
+      // mate 2 reports reverse-complemented: rev index into sq2/q2
+      for (int64_t k = 0; k < lim_two; ++k) {
+        int64_t dst = fl - lim_two + k;
+        int64_t src = (L2 - lim_two + k);  // index into seq2_rev
+        fseq[dst] = rc(sq2[L2 - 1 - src]);
+        fqual[dst] = q2[L2 - 1 - src];
+      }
+      if (ov_s < ov_e) {
+        int32_t n1c = 0, n2c = 0;
+        for (int32_t k = 0; k < L1; ++k) n1c += sq1[k] == 'N';
+        for (int32_t k = 0; k < L2; ++k) n2c += sq2[k] == 'N';
+        int32_t info_one = L1 - (n1c + r1mm[j]);
+        int32_t info_two = L2 - (n2c + r2mm[j]);
+        if (info_one >= info_two) {
+          int64_t a = pl ? ov_s - S1 : E1 - ov_e;
+          int64_t b = pl ? ov_e - S1 : E1 - ov_s;
+          for (int64_t k = 0; k < b - a; ++k) {
+            fseq[lim_one + k] = sq1[a + k];
+            fqual[lim_one + k] = q1[a + k];
+          }
+        } else {
+          int64_t a = pl ? ov_s - S2 : E2 - ov_e;
+          int64_t b = pl ? ov_e - S2 : E2 - ov_s;
+          for (int64_t k = 0; k < b - a; ++k) {
+            fseq[lim_one + k] = rc(sq2[L2 - 1 - (a + k)]);
+            fqual[lim_one + k] = q2[L2 - 1 - (a + k)];
+          }
+        }
+      }
+    }
+    int64_t start_pos = pl ? S1 : S2;
+    int32_t c = uchr[j];
+    std::string& out = main_s;
+    out.append(reinterpret_cast<const char*>(chr_names + chr_off[c]),
+               chr_len[c]);
+    out.push_back('\t');
+    put_num(out, start_pos);
+    out.push_back('\t');
+    put_num(out, start_pos + fl);
+    out.push_back('\t');
+    out.append("FRAG:", 5);
+    out.append(reinterpret_cast<const char*>(buf1 + noff1[j]), nlen1[j]);
+    out.push_back('\t');
+    put_num(out, r1mm[j] + r2mm[j]);
+    out.push_back('\t');
+    out.push_back(pl ? '+' : '-');
+    out.push_back('\t');
+    out.append(reinterpret_cast<const char*>(fseq.data()), fseq.size());
+    out.push_back('\t');
+    out.append(reinterpret_cast<const char*>(fqual.data()), fqual.size());
+    out.push_back('\n');
+  }
+  if (!main_s.empty()) flush(fd_main, main_s);
+  if (!amb1_s.empty()) flush(fd_amb1, amb1_s);
+  if (!unm1_s.empty()) flush(fd_unm1, unm1_s);
+  if (!amb2_s.empty()) flush(fd_amb2, amb2_s);
+  if (!unm2_s.empty()) flush(fd_unm2, unm2_s);
+  return write_err;
+}
+
 }  // extern "C"

@@ -140,6 +140,80 @@ static void best_single(const Cand* ranked, int n, int max_mm, uint32_t* pos,
   *mm = bm;
 }
 
+// MergePairedEndResults (paired.cpp:438-570) over two drain-order ranked
+// lists, reporting into the per-pair output slots shared by pe_finalize and
+// pe_join_ranked.
+static void join_pair(const ChromMap& g, const Cand* ranked1, int n1,
+                      const Cand* ranked2, int n2, int32_t len1, int32_t len2,
+                      int32_t frag_range, int32_t max_mm, int64_t i,
+                      uint8_t* out_code, int32_t* out_frag,
+                      int32_t* r1_mm, uint32_t* r1_pos, uint8_t* r1_strand,
+                      int32_t* r2_mm, uint32_t* r2_pos, uint8_t* r2_strand,
+                      uint32_t* bm_pos, int32_t* bm_times, uint8_t* bm_strand,
+                      int32_t* bm_mm) {
+  int best_i = -1, best_j = -1;
+  int32_t min_mm = max_mm;
+  uint64_t best_pos = 0;
+  int32_t best_times = 0;
+  for (int a = n1 - 1; a >= 0; --a) {
+    const Cand& r1 = ranked1[a];
+    int chr1 = g.chrom_of(r1.pos);
+    for (int b = n2 - 1; b >= 0; --b) {
+      const Cand& r2 = ranked2[b];
+      if (r1.strand == r2.strand) continue;
+      int32_t s = r1.mm + r2.mm;
+      if (s > min_mm) break;
+      int chr2 = g.chrom_of(r2.pos);
+      if (chr1 != chr2) continue;
+      int64_t frag = frag_len_of(g, r1, r2, len1, len2, chr1, chr2);
+      if (frag <= 0 || frag > frag_range) continue;
+      uint64_t cur = ((uint64_t)r1.pos << 32) + r2.pos;
+      if (s < min_mm) {
+        best_i = a;
+        best_j = b;
+        best_times = 1;
+        min_mm = s;
+        best_pos = cur;
+      } else if (s == min_mm && cur != best_pos) {
+        best_i = a;
+        best_j = b;
+        best_times += 1;
+      }
+    }
+  }
+
+  if (best_times == 1) {
+    out_code[i] = 0;
+    const Cand& r1 = ranked1[best_i];
+    const Cand& r2 = ranked2[best_j];
+    r1_mm[i] = r1.mm;
+    r1_pos[i] = r1.pos;
+    r1_strand[i] = r1.strand;
+    r2_mm[i] = r2.mm;
+    r2_pos[i] = r2.pos;
+    r2_strand[i] = r2.strand;
+    int chr1 = g.chrom_of(r1.pos);
+    out_frag[i] = (int32_t)frag_len_of(g, r1, r2, len1, len2, chr1,
+                                       g.chrom_of(r2.pos));
+    // unique pair still reports per-mate BestMatch for the SAM branch
+    bm_pos[2 * i] = r1.pos;
+    bm_times[2 * i] = 1;
+    bm_strand[2 * i] = r1.strand;
+    bm_mm[2 * i] = r1.mm;
+    bm_pos[2 * i + 1] = r2.pos;
+    bm_times[2 * i + 1] = 1;
+    bm_strand[2 * i + 1] = r2.strand;
+    bm_mm[2 * i + 1] = r2.mm;
+  } else {
+    out_code[i] = best_times >= 2 ? 1 : 2;
+    out_frag[i] = 0;
+    best_single(ranked1, n1, max_mm, &bm_pos[2 * i], &bm_times[2 * i],
+                &bm_strand[2 * i], &bm_mm[2 * i]);
+    best_single(ranked2, n2, max_mm, &bm_pos[2 * i + 1], &bm_times[2 * i + 1],
+                &bm_strand[2 * i + 1], &bm_mm[2 * i + 1]);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -175,70 +249,46 @@ void pe_finalize(
     }
     int n1 = topk_drain(st1, 2, top_k, max_mm, exit1_seed, ranked1.data());
     int n2 = topk_drain(st2, 2, top_k, max_mm, exit1_seed, ranked2.data());
+    join_pair(g, ranked1.data(), n1, ranked2.data(), n2, len1[i], len2[i],
+              frag_range, max_mm, i, out_code, out_frag, r1_mm, r1_pos,
+              r1_strand, r2_mm, r2_pos, r2_strand, bm_pos, bm_times,
+              bm_strand, bm_mm);
+  }
+}
 
-    // MergePairedEndResults core (paired.cpp:472-513)
-    int best_i = -1, best_j = -1;
-    int32_t min_mm = max_mm;
-    uint64_t best_pos = 0;
-    int32_t best_times = 0;
-    for (int a = n1 - 1; a >= 0; --a) {
-      const Cand& r1 = ranked1[a];
-      int chr1 = g.chrom_of(r1.pos);
-      for (int b = n2 - 1; b >= 0; --b) {
-        const Cand& r2 = ranked2[b];
-        if (r1.strand == r2.strand) continue;
-        int32_t s = r1.mm + r2.mm;
-        if (s > min_mm) break;
-        int chr2 = g.chrom_of(r2.pos);
-        if (chr1 != chr2) continue;
-        int64_t frag = frag_len_of(g, r1, r2, len1[i], len2[i], chr1, chr2);
-        if (frag <= 0 || frag > frag_range) continue;
-        uint64_t cur = ((uint64_t)r1.pos << 32) + r2.pos;
-        if (s < min_mm) {
-          best_i = a;
-          best_j = b;
-          best_times = 1;
-          min_mm = s;
-          best_pos = cur;
-        } else if (s == min_mm && cur != best_pos) {
-          best_i = a;
-          best_j = b;
-          best_times += 1;
-        }
-      }
-    }
-
-    if (best_times == 1) {
-      out_code[i] = 0;
-      const Cand& r1 = ranked1[best_i];
-      const Cand& r2 = ranked2[best_j];
-      r1_mm[i] = r1.mm;
-      r1_pos[i] = r1.pos;
-      r1_strand[i] = r1.strand;
-      r2_mm[i] = r2.mm;
-      r2_pos[i] = r2.pos;
-      r2_strand[i] = r2.strand;
-      int chr1 = g.chrom_of(r1.pos);
-      out_frag[i] = (int32_t)frag_len_of(g, r1, r2, len1[i], len2[i], chr1,
-                                         g.chrom_of(r2.pos));
-      // unique pair still reports per-mate BestMatch for the SAM branch
-      bm_pos[2 * i] = r1.pos;
-      bm_times[2 * i] = 1;
-      bm_strand[2 * i] = r1.strand;
-      bm_mm[2 * i] = r1.mm;
-      bm_pos[2 * i + 1] = r2.pos;
-      bm_times[2 * i + 1] = 1;
-      bm_strand[2 * i + 1] = r2.strand;
-      bm_mm[2 * i + 1] = r2.mm;
-    } else {
-      out_code[i] = best_times >= 2 ? 1 : 2;
-      out_frag[i] = 0;
-      best_single(ranked1.data(), n1, max_mm, &bm_pos[2 * i], &bm_times[2 * i],
-                  &bm_strand[2 * i], &bm_mm[2 * i]);
-      best_single(ranked2.data(), n2, max_mm, &bm_pos[2 * i + 1],
-                  &bm_times[2 * i + 1], &bm_strand[2 * i + 1],
-                  &bm_mm[2 * i + 1]);
-    }
+// Join pre-drained ranked candidate lists (the pe_exact_ranked output
+// layout: per pair a count and k-slot mm/pos/strand rows in drain order)
+// into the same per-pair verdict arrays as pe_finalize.  Used for fallback
+// pairs, whose candidates come from the exact host enumerator instead of
+// device slabs -- the join/report semantics are identical
+// (MergePairedEndResults, paired.cpp:438-570).
+void pe_join_ranked(
+    int32_t n, int32_t k,
+    const int32_t* cnt1, const int32_t* mm1, const uint32_t* pos1,
+    const uint8_t* st1,
+    const int32_t* cnt2, const int32_t* mm2, const uint32_t* pos2,
+    const uint8_t* st2,
+    const int32_t* len1, const int32_t* len2,
+    const uint32_t* chrom_start, int32_t n_chroms,
+    int32_t frag_range, int32_t max_mm,
+    uint8_t* out_code, int32_t* out_frag,
+    int32_t* r1_mm, uint32_t* r1_pos, uint8_t* r1_strand,
+    int32_t* r2_mm, uint32_t* r2_pos, uint8_t* r2_strand,
+    uint32_t* bm_pos, int32_t* bm_times, uint8_t* bm_strand, int32_t* bm_mm) {
+  ChromMap g{chrom_start, n_chroms};
+  std::vector<Cand> ranked1(k), ranked2(k);
+  for (int32_t i = 0; i < n; ++i) {
+    int n1 = cnt1[i], n2 = cnt2[i];
+    for (int a = 0; a < n1; ++a)
+      ranked1[a] = Cand{mm1[(int64_t)i * k + a], pos1[(int64_t)i * k + a],
+                        st1[(int64_t)i * k + a]};
+    for (int a = 0; a < n2; ++a)
+      ranked2[a] = Cand{mm2[(int64_t)i * k + a], pos2[(int64_t)i * k + a],
+                        st2[(int64_t)i * k + a]};
+    join_pair(g, ranked1.data(), n1, ranked2.data(), n2, len1[i], len2[i],
+              frag_range, max_mm, i, out_code, out_frag, r1_mm, r1_pos,
+              r1_strand, r2_mm, r2_pos, r2_strand, bm_pos, bm_times,
+              bm_strand, bm_mm);
   }
 }
 

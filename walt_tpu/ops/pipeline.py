@@ -222,22 +222,23 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     kws = [key_words[:, w] for w in range(min(npw, key_words.shape[1]))]
 
     def probe(mid):
-        midc = jnp.clip(mid, 0, n_entries - 1)
-        es = [jnp.take(kw_, midc) & m
+        # mode="clip" folds the bounds guard into the gather
+        es = [jnp.take(kw_, mid, mode="clip") & m
               for kw_, m in zip(kws[:nprobe], masks[:nprobe])]
         return _lex_ge(es, rws[:nprobe])
 
-    def body(_, lr):
-        l, r = lr
+    # first entry >= read prefix: the refined run starts here.  The loop is
+    # UNROLLED (search_bits is static, <= 32): each iteration is one
+    # sequential HBM gather; lax.fori_loop's per-trip loop machinery costs
+    # more than the duplicated body on this gather-latency-bound chain.
+    l, r = lo, hi
+    for _ in range(search_bits):
         mid = (l + r) // 2
         ge = probe(mid)
         active = l < r
         r = jnp.where(active & ge, mid, r)
         l = jnp.where(active & ~ge, mid + 1, l)
-        return l, r
-
-    # first entry >= read prefix: the refined run starts here
-    lower, _ = jax.lax.fori_loop(0, search_bits, body, (lo, hi))
+    lower = l
     if stage_out == "search":
         return jnp.sum(lower)
 
