@@ -389,19 +389,14 @@ class JaxBackend:
         self.fallback_reads += int(out[4].sum())
         return out
 
-    def map_mate_slabs(self, codes: np.ndarray, lens: np.ndarray, tables,
-                       ag_wildcard: bool, b: int, max_mismatches: int,
-                       pattern: SeedPattern):
-        """Both strand tables of one mate, fused (ops/pe_map) -- one
-        dispatch and a flat-compacted fetch per chunk instead of two slab
-        dispatches with ~9C bytes/read of D2H.
+    def map_mate_slabs_begin(self, codes: np.ndarray, lens: np.ndarray,
+                             tables, ag_wildcard: bool, b: int,
+                             max_mismatches: int, pattern: SeedPattern):
+        """Dispatch one mate's fused strand programs; do not fetch.
 
-        ``tables``: [(genome, hash_table), (genome, hash_table)] '+' first.
-        Returns ([dict(seed, pos, mm, cnt) per strand], fallback (n,) bool);
-        slab arrays are (n, cand_slab), C-contiguous, ready for
-        native.pe_finalize.  Reads flagged fallback (pipeline overflow or
-        flat spill) carry no usable slab entries -- the driver routes them
-        to the exact host path.
+        Returns an opaque handle for :meth:`map_mate_slabs_finish`.  Keeping
+        dispatch and fetch separate lets the PE driver put BOTH mates'
+        programs in flight before blocking on either one's D2H copies.
         """
         from walt_tpu.ops import pe_map
 
@@ -439,7 +434,12 @@ class JaxBackend:
         for _, _, (meta, flat) in results:
             meta.copy_to_host_async()
             flat.copy_to_host_async()
+        return n, results
 
+    def map_mate_slabs_finish(self, handle):
+        """Fetch + decode a :meth:`map_mate_slabs_begin` handle."""
+        n, results = handle
+        C = self.cand_slab
         streams = [
             dict(seed=np.zeros((n, C), dtype=np.int8),
                  pos=np.zeros((n, C), dtype=np.uint32),
@@ -487,6 +487,26 @@ class JaxBackend:
         self.total_reads += n
         self.fallback_reads += int(fallback.sum())
         return streams, fallback
+
+    def map_mate_slabs(self, codes: np.ndarray, lens: np.ndarray, tables,
+                       ag_wildcard: bool, b: int, max_mismatches: int,
+                       pattern: SeedPattern):
+        """Both strand tables of one mate, fused (ops/pe_map) -- one
+        dispatch and a flat-compacted fetch per chunk instead of two slab
+        dispatches with ~9C bytes/read of D2H.
+
+        ``tables``: [(genome, hash_table), (genome, hash_table)] '+' first.
+        Returns ([dict(seed, pos, mm, cnt) per strand], fallback (n,) bool);
+        slab arrays are (n, cand_slab), C-contiguous, ready for
+        native.pe_finalize.  Reads flagged fallback (pipeline overflow or
+        flat spill) carry no usable slab entries -- the driver routes them
+        to the exact host path.
+        """
+        return self.map_mate_slabs_finish(
+            self.map_mate_slabs_begin(
+                codes, lens, tables, ag_wildcard, b, max_mismatches, pattern
+            )
+        )
 
     def map_strand(self, codes: np.ndarray, lens: np.ndarray, genome: Genome,
                    table: HashTable, ag_wildcard: bool, b: int,

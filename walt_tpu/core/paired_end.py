@@ -270,37 +270,179 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
         for ln in lines:
             skip_reads(ln, ckpt.reads_done)
         pairs_done = ckpt.reads_done
-    while True:
-        batches = []
-        ranked = [None, None]
-        slab_streams = []  # native path: 4 stream dicts (m1+, m1-, m2+, m2-)
-        fb_any = None
-        lens_by_mate = []
-        for pi in range(2):
-            ag_wildcard = (pi == 1) != pbat
-            mate_stat = stat.mate1 if pi == 0 else stat.mate2
-            batch = load_batch(lines[pi], batch_size, adaptors[pi].encode())
-            batches.append(batch)
-            if len(batch) == 0:
-                break
-            codes, lens = batch.packed()
-            lens_by_mate.append(lens)
-            streams = []
-            if use_native:
-                # short reads counted once per strand pass (paired.cpp:112-115)
-                mate_stat.num_of_short += 2 * int(
-                    np.sum(lens < pattern.min_read_len)
-                )
-                # fused: both strand tables in ONE dispatch, flat-compacted
-                # fetch (ops/pe_map) -- 2 dispatches per batch total
-                with perf.stage("device_map"):
-                    mate_streams, fb = backend.map_mate_slabs(
-                        codes, lens, tables[pi], ag_wildcard, b,
-                        max_mismatches, pattern,
-                    )
-                slab_streams.extend(mate_streams)
+
+    def parse_pair():
+        """Load one batch of both mates (paired.cpp:648, 673-677)."""
+        with perf.stage("host_parse"):
+            b1 = load_batch(lines[0], batch_size, adaptors[0].encode())
+            b2 = load_batch(lines[1], batch_size, adaptors[1].encode())
+        if len(b1) != len(b2):
+            raise RuntimeError(
+                "The number of reads in paired-end files should be the same."
+            )
+        return b1, b2
+
+    def map_pair(b1, b2):
+        """Device map of both mates: all dispatches in flight before the
+        first fetch (fused strand programs, ops/pe_map)."""
+        with perf.stage("device_map"):
+            handles, lens_by_mate = [], []
+            for pi, batch in enumerate((b1, b2)):
+                codes, lens = batch.packed()
+                lens_by_mate.append(lens)
+                handles.append(backend.map_mate_slabs_begin(
+                    codes, lens, tables[pi], (pi == 1) != pbat, b,
+                    max_mismatches, pattern,
+                ))
+            slab_streams, fb_any = [], None
+            for h in handles:
+                s, fb = backend.map_mate_slabs_finish(h)
+                slab_streams.extend(s)
                 fb_any = fb if fb_any is None else (fb_any | fb)
+        return slab_streams, fb_any, lens_by_mate
+
+    def emit_pair(b1, b2, mapped):
+        """Finalize + host fallback + emission for one mapped batch."""
+        slab_streams, fb_any, lens_by_mate = mapped
+        n0 = len(b1)
+        stat.total_read_pairs += n0
+        for pi, lens in enumerate(lens_by_mate):
+            # short reads counted once per strand pass (paired.cpp:112-115);
+            # accounted at emit time so a batch-granular checkpoint never
+            # includes counts from a batch it has not emitted
+            mate_stat = stat.mate1 if pi == 0 else stat.mate2
+            mate_stat.num_of_short += 2 * int(
+                np.sum(lens < pattern.min_read_len)
+            )
+        with perf.stage("native_finalize"):
+            fin = native.pe_finalize(
+                slab_streams, fb_any.astype(np.uint8),
+                lens_by_mate[0].astype(np.int32),
+                lens_by_mate[1].astype(np.int32),
+                genome_meta.start_index.astype(np.uint32),
+                top_k, frag_range, max_mismatches, pattern.exit1_seed,
+            )
+        from walt_tpu.core import refmap
+        from walt_tpu.host import replay as _replay
+
+        codes1, _ = b1.packed()
+        codes2, _ = b2.packed()
+
+        def replay_fb(j):
+            # exact host path for pairs whose streams were truncated
+            rk = []
+            for pi, codes_ in ((0, codes1), (1, codes2)):
+                rk.append(replay_paired_topk(
+                    [
+                        (strand, refmap.enumerate_candidates(
+                            codes_[j, : int(lens_by_mate[pi][j])],
+                            g, ht, (pi == 1) != pbat, b,
+                            max_mismatches, pattern))
+                        for (g, ht), strand in zip(tables[pi], strands)
+                    ],
+                    max_mismatches, top_k, pattern,
+                ))
+            return rk
+
+        fb_idx = np.flatnonzero(fb_any)
+        fb_ranked = {}
+        if fb_idx.size:
+            _t0 = time.perf_counter()
+            per_mate = []
+            for pi, codes_ in ((0, codes1), (1, codes2)):
+                got = native.pe_exact_ranked(
+                    codes_[fb_idx], lens_by_mate[pi][fb_idx],
+                    tables[pi], (pi == 1) != pbat, b, max_mismatches,
+                    top_k, pattern,
+                )
+                per_mate.append(got)
+            if all(g is not None for g in per_mate):
+                # join the exact ranked lists natively and scatter the
+                # verdicts into the batch arrays: fallback pairs then
+                # ride the same batched emission as everyone else
+                sub = native.pe_join_ranked(
+                    per_mate[0], per_mate[1],
+                    lens_by_mate[0][fb_idx], lens_by_mate[1][fb_idx],
+                    genome_meta.start_index.astype(np.uint32),
+                    frag_range, max_mismatches, top_k,
+                )
+                for kk in ("code", "frag", "r1_mm", "r1_pos", "r1_strand",
+                           "r2_mm", "r2_pos", "r2_strand"):
+                    fin[kk][fb_idx] = sub[kk]
+                for kk in ("bm_pos", "bm_times", "bm_strand", "bm_mm"):
+                    fin[kk].reshape(-1, 2)[fb_idx] = (
+                        sub[kk].reshape(-1, 2)
+                    )
             else:
+                fb_ranked = dict(
+                    zip(fb_idx, _replay.host_map(replay_fb, fb_idx))
+                )
+            perf.add("host_fallback", time.perf_counter() - _t0)
+        emitted = False
+        if not sam and not fb_ranked:
+            with perf.stage("host_emit"):
+                emitted = emit_paired.write_pair_batch(
+                    genome_meta, fin, b1, b2, lens_by_mate[0],
+                    lens_by_mate[1], frag_range, stat, fouts, pbat,
+                )
+        if not emitted:
+            with perf.stage("host_emit"):
+                for j in range(n0):
+                    if fb_any[j] and fb_ranked:
+                        rk = fb_ranked[j]
+                        merge_pair(
+                            genome_meta, rk[0], rk[1], b1.names[j],
+                            b1.seqs[j], b1.quals[j], b2.seqs[j],
+                            b2.quals[j], frag_range, max_mismatches, sam,
+                            stat, fouts, pattern, pbat=pbat,
+                        )
+                    else:
+                        _emit_pair_finalized(
+                            genome_meta, j, fin, b1.names[j], b1.seqs[j],
+                            b1.quals[j], b2.seqs[j], b2.quals[j],
+                            frag_range, max_mismatches, sam, stat, fouts,
+                            pbat=pbat,
+                        )
+
+    if use_native:
+        # Software-pipelined driver, like core/single_end.py: one mapper
+        # thread keeps the device busy on batch i while the main thread
+        # parses batch i+1 and finalizes/falls back/emits batch i-1.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as ex, perf.profiler_trace():
+            prev = None
+            while True:
+                b1, b2 = parse_pair()
+                n = len(b1)
+                fut = ex.submit(map_pair, b1, b2) if n else None
+                if prev is not None:
+                    pb1, pb2, pfut = prev
+                    emit_pair(pb1, pb2, pfut.result())
+                    pairs_done += len(pb1)
+                    if ckpt is not None:
+                        ckpt.save(stat, files, pairs_done)
+                prev = (b1, b2, fut) if n else None
+                if n < batch_size:
+                    break
+            if prev is not None:
+                pb1, pb2, pfut = prev
+                emit_pair(pb1, pb2, pfut.result())
+                pairs_done += len(pb1)
+                if ckpt is not None:
+                    ckpt.save(stat, files, pairs_done)
+    else:
+        while True:
+            b1, b2 = parse_pair()
+            n0 = len(b1)
+            if n0 == 0:
+                break
+            ranked = [None, None]
+            for pi, batch in enumerate((b1, b2)):
+                ag_wildcard = (pi == 1) != pbat
+                mate_stat = stat.mate1 if pi == 0 else stat.mate2
+                codes, lens = batch.packed()
+                streams = []
                 for (g, ht), strand in zip(tables[pi], strands):
                     mate_stat.num_of_short += int(
                         np.sum(lens < pattern.min_read_len)
@@ -310,118 +452,14 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                         pattern,
                     )
                     streams.append((strand, per_read))
-            if not use_native:
                 ranked[pi] = [
                     replay_paired_topk(
-                        [(strand, per_read[j]) for strand, per_read in streams],
+                        [(strand, pr[j]) for strand, pr in streams],
                         max_mismatches, top_k, pattern,
                     )
                     for j in range(len(batch))
                 ]
-        n0 = len(batches[0])
-        n1 = len(batches[1]) if len(batches) > 1 else 0
-        if n0 != n1:
-            if n0 == 0 and len(batches) == 1:
-                break
-            raise RuntimeError(
-                "The number of reads in paired-end files should be the same."
-            )
-        if n0 == 0:
-            break
-        stat.total_read_pairs += n0
-
-        b1, b2 = batches
-        if use_native:
-            with perf.stage("native_finalize"):
-                fin = native.pe_finalize(
-                    slab_streams, fb_any.astype(np.uint8),
-                    lens_by_mate[0].astype(np.int32),
-                    lens_by_mate[1].astype(np.int32),
-                    genome_meta.start_index.astype(np.uint32),
-                    top_k, frag_range, max_mismatches, pattern.exit1_seed,
-                )
-            from walt_tpu.core import refmap
-            from walt_tpu.host import replay as _replay
-
-            codes1, _ = b1.packed()
-            codes2, _ = b2.packed()
-
-            def replay_fb(j):
-                # exact host path for pairs whose streams were truncated
-                rk = []
-                for pi, codes_ in ((0, codes1), (1, codes2)):
-                    rk.append(replay_paired_topk(
-                        [
-                            (strand, refmap.enumerate_candidates(
-                                codes_[j, : int(lens_by_mate[pi][j])],
-                                g, ht, (pi == 1) != pbat, b,
-                                max_mismatches, pattern))
-                            for (g, ht), strand in zip(tables[pi], strands)
-                        ],
-                        max_mismatches, top_k, pattern,
-                    ))
-                return rk
-
-            fb_idx = np.flatnonzero(fb_any)
-            fb_ranked = {}
-            if fb_idx.size:
-                _t0 = time.perf_counter()
-                per_mate = []
-                for pi, codes_ in ((0, codes1), (1, codes2)):
-                    got = native.pe_exact_ranked(
-                        codes_[fb_idx], lens_by_mate[pi][fb_idx],
-                        tables[pi], (pi == 1) != pbat, b, max_mismatches,
-                        top_k, pattern,
-                    )
-                    per_mate.append(got)
-                if all(g is not None for g in per_mate):
-                    # join the exact ranked lists natively and scatter the
-                    # verdicts into the batch arrays: fallback pairs then
-                    # ride the same batched emission as everyone else
-                    sub = native.pe_join_ranked(
-                        per_mate[0], per_mate[1],
-                        lens_by_mate[0][fb_idx], lens_by_mate[1][fb_idx],
-                        genome_meta.start_index.astype(np.uint32),
-                        frag_range, max_mismatches, top_k,
-                    )
-                    for kk in ("code", "frag", "r1_mm", "r1_pos", "r1_strand",
-                               "r2_mm", "r2_pos", "r2_strand"):
-                        fin[kk][fb_idx] = sub[kk]
-                    for kk in ("bm_pos", "bm_times", "bm_strand", "bm_mm"):
-                        fin[kk].reshape(-1, 2)[fb_idx] = (
-                            sub[kk].reshape(-1, 2)
-                        )
-                else:
-                    fb_ranked = dict(
-                        zip(fb_idx, _replay.host_map(replay_fb, fb_idx))
-                    )
-                perf.add("host_fallback", time.perf_counter() - _t0)
-            emitted = False
-            if not sam and not fb_ranked:
-                with perf.stage("host_emit"):
-                    emitted = emit_paired.write_pair_batch(
-                        genome_meta, fin, b1, b2, lens_by_mate[0],
-                        lens_by_mate[1], frag_range, stat, fouts, pbat,
-                    )
-            if not emitted:
-                with perf.stage("host_emit"):
-                    for j in range(n0):
-                        if fb_any[j] and fb_ranked:
-                            rk = fb_ranked[j]
-                            merge_pair(
-                                genome_meta, rk[0], rk[1], b1.names[j],
-                                b1.seqs[j], b1.quals[j], b2.seqs[j],
-                                b2.quals[j], frag_range, max_mismatches, sam,
-                                stat, fouts, pattern, pbat=pbat,
-                            )
-                        else:
-                            _emit_pair_finalized(
-                                genome_meta, j, fin, b1.names[j], b1.seqs[j],
-                                b1.quals[j], b2.seqs[j], b2.quals[j],
-                                frag_range, max_mismatches, sam, stat, fouts,
-                                pbat=pbat,
-                            )
-        else:
+            stat.total_read_pairs += n0
             for j in range(n0):
                 merge_pair(
                     genome_meta, ranked[0][j], ranked[1][j], b1.names[j],
@@ -429,12 +467,11 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                     frag_range, max_mismatches, sam, stat, fouts, pattern,
                     pbat=pbat,
                 )
-
-        pairs_done += n0
-        if ckpt is not None:
-            ckpt.save(stat, files, pairs_done)
-        if n0 < batch_size:
-            break
+            pairs_done += n0
+            if ckpt is not None:
+                ckpt.save(stat, files, pairs_done)
+            if n0 < batch_size:
+                break
     for ln in lines:
         ln.close()
     fout.close()
