@@ -201,7 +201,15 @@ def main() -> int:
         print(json.dumps(d), file=sys.stderr)
 
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    if only and os.path.exists(detail_path):
+        # partial (WALTX_BENCH_ONLY) runs update their config in place
+        # instead of clobbering the other configs' numbers
+        old = {d["config"]: d for d in json.load(open(detail_path))}
+        old.update({d["config"]: d for d in details})
+        order = [c["name"] for c in configs]
+        details = sorted(old.values(), key=lambda d: order.index(d["config"]))
+    with open(detail_path, "w") as f:
         json.dump(details, f, indent=1)
 
     head = details[0]

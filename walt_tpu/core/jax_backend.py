@@ -167,6 +167,10 @@ class JaxBackend:
         ladder = [self.small_chunk]
         while ladder[-1] * 4 < self.chunk:
             ladder.append(ladder[-1] * 4)
+        if self.chunk // 2 > ladder[-1]:
+            # keep the top gap at 2x: a tail (or batch) just over half the
+            # full chunk must not pay a 2x-padded full-size program
+            ladder.append(self.chunk // 2)
         ladder.append(self.chunk)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
