@@ -1,18 +1,28 @@
-"""dp-scaling efficiency on a virtual CPU mesh (directional, not absolute).
+"""dp partition overhead on a virtual CPU mesh (directional, not absolute).
 
-Runs the production sharded SE step (JaxBackend with a mesh) on 1, 2, 4, 8
-virtual CPU devices over the same synthetic workload and reports
-reads/s and scaling efficiency vs 1 device.  CPU-mesh numbers say nothing
-about TPU absolute throughput, but they do exercise the real partitioning:
-XLA compiles one program per mesh shape, reads are dp-sharded, candidate
-merges ride the (virtual) collectives.  The north-star target is >=80%
-efficiency 1 chip -> N (BASELINE.json); on real hardware the dp axis has no
-cross-chip communication at all in the SE step (table replicated, fold
-per-read), so efficiency is bounded by compile-shape and host-side effects,
-both of which this harness surfaces.
+Virtual CPU devices (--xla_force_host_platform_device_count) execute
+SERIALLY -- a same-total-work program takes the same wall time on 1 and 4
+devices (verified: 200-layer matmul chain, 0.94 s vs 0.91 s) -- so wall-clock
+dp-SPEEDUP cannot be observed on this harness at all.  What CAN be measured
+is the quantity that determines real-hardware dp efficiency: the extra work
+partitioning adds (padding, per-shard fixed costs, collective lowering).
+With serial execution, t_nd / t_1dev == (total partitioned work) / (total
+unpartitioned work), so
+
+    implied_dp_efficiency = t_1dev / t_ndev
+
+is what a mesh of real parallel chips would achieve per chip, up to host-side
+effects.  The SE step's dp axis has no cross-chip communication by design
+(table replicated, fold per-read), so this overhead ratio is the whole story
+for dp; the north-star >=80% target (BASELINE.json) maps to
+implied_dp_efficiency >= 0.8 here.
+
+Reported per mesh size: end-to-end backend throughput (includes the
+single-threaded host stages, which real runs hide under device time --
+PERF.md) and the device-program-only throughput with its implied efficiency.
 
 Usage:  python tools/dp_scaling.py [n_reads]
-Writes a JSON summary line per mesh size.
+Writes a JSON summary line per mesh size to SCALING.json.
 """
 
 import json
@@ -40,7 +50,7 @@ import numpy as np  # noqa: E402
 
 
 def main() -> int:
-    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 32_768
+    n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 131_072
 
     from walt_tpu.constants import get_pattern
     from walt_tpu.core.jax_backend import JaxBackend
@@ -60,7 +70,7 @@ def main() -> int:
 
     ncores = multiprocessing.cpu_count()
     results = []
-    base = None
+    base = base_dev = None
     for nd in (1, 2, 4, 8):
         devs = jax.devices()[:nd]
         if len(devs) < nd or nd > ncores:
@@ -73,18 +83,61 @@ def main() -> int:
             codes, lens, tables, 5000, 6, pattern
         )
         run()  # compile + settle heuristics
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
+        # best-of-N: this host class freezes the VM for O(seconds) at
+        # random, so a mean over reps understates steady state
+        dt = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
             out = run()
-        dt = (time.perf_counter() - t0) / reps
+            dt = min(dt, time.perf_counter() - t0)
         rps = n_reads / dt
         if base is None:
             base = rps
-        eff = rps / (base * nd)
+
+        # device-program-only: the partitioned jitted SE program, staged
+        # inputs, block_until_ready (real on CPU devices).  End-to-end on a
+        # CPU mesh is bounded by the single-threaded HOST stages (parse,
+        # decode, replay), which on real hardware hide under device time
+        # (PERF.md) -- this isolates what dp actually partitions.
+        from walt_tpu.ops import se_fold
+        import jax.numpy as jnp
+
+        dtabs, bits = [], []
+        for g, ht in tables:
+            dti, devd = backend._device_table(g, ht, pattern, 1)
+            dtabs.append(devd)
+            bits.append(dti.max_bucket_bits)
+        (a, z, pc, pl), = backend._chunks(codes, lens, pattern)
+        kw = dict(pattern_name=pattern.name, ag_wildcard=False, seeds=None,
+                  search_bits=tuple(bits), verify_slab=backend.verify_slab_t1,
+                  cand_slab=backend.cand_slab, wl_factor=backend._wl1,
+                  exact_b=False)
+        if backend.mesh is not None:
+            from walt_tpu.parallel import map_single_end_sharded
+
+            prog = lambda: map_single_end_sharded(  # noqa: E731
+                pc, pl, jnp.int32(5000), jnp.int32(6), tuple(dtabs),
+                mesh=backend.mesh, **kw)
+        else:
+            prog = lambda: se_fold.map_single_end_device(  # noqa: E731
+                pc, pl, jnp.int32(5000), jnp.int32(6), tuple(dtabs), **kw)
+        jax.block_until_ready(prog())
+        ddt = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(prog())
+            ddt = min(ddt, time.perf_counter() - t0)
+        drps = n_reads / ddt
+        if base_dev is None:
+            base_dev = drps
+
         results.append(dict(
             devices=nd, reads_per_s=round(rps, 1),
-            efficiency_vs_1dev=round(eff, 3),
+            end_to_end_vs_1dev=round(rps / base, 3),
+            device_program_reads_per_s=round(drps, 1),
+            # virtual devices execute serially: t_1/t_nd is the partition
+            # overhead ratio == per-chip efficiency on parallel hardware
+            implied_dp_efficiency=round(drps / base_dev, 3),
             fallback=int(out[4].sum()),
         ))
         print(json.dumps(results[-1]))
