@@ -379,11 +379,11 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                 )
             perf.add("host_fallback", time.perf_counter() - _t0)
         emitted = False
-        if not sam and not fb_ranked:
+        if not fb_ranked:
             with perf.stage("host_emit"):
                 emitted = emit_paired.write_pair_batch(
                     genome_meta, fin, b1, b2, lens_by_mate[0],
-                    lens_by_mate[1], frag_range, stat, fouts, pbat,
+                    lens_by_mate[1], frag_range, stat, fouts, pbat, sam=sam,
                 )
         if not emitted:
             with perf.stage("host_emit"):

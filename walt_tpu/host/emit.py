@@ -233,6 +233,30 @@ def write_single_batch(pos, times, minus, mm, batch, genome: Genome,
         if ok:
             return
 
+    if sam and batch.native is not None:
+        from walt_tpu import native
+
+        buf, noff, nlen, qoff, qlen, seqbytes = batch.native
+        cnames = [s.encode() for s in genome.names]
+        lens32 = np.asarray([len(s) for s in cnames], dtype=np.int32)
+        offs = np.zeros(len(cnames), dtype=np.int64)
+        if len(cnames) > 1:
+            np.cumsum(lens32[:-1], out=offs[1:])
+        blob_a = np.frombuffer(b"".join(cnames), dtype=np.uint8)
+        fout.flush()
+        ok = native.sam_emit(
+            fout.fileno(), buf, noff, nlen, qoff, qlen, seqbytes,
+            np.ascontiguousarray(batch.lengths(), dtype=np.int32),
+            np.ascontiguousarray(times, dtype=np.int32),
+            np.ascontiguousarray(minus).view(np.uint8),
+            np.ascontiguousarray(start, dtype=np.int64),
+            np.ascontiguousarray(mm, dtype=np.int32),
+            np.ascontiguousarray(chr_id, dtype=np.int32),
+            blob_a, offs, lens32, ambiguous, unmapped,
+        )
+        if ok:
+            return
+
     names = batch.names
     seqs = batch.seqs
     quals = batch.quals

@@ -83,15 +83,16 @@ def best_paired_mr(genome: Genome, r1, r2, frag_range: int, name: str,
 
 
 def write_pair_batch(genome: Genome, fin, b1, b2, lens1, lens2,
-                     frag_range: int, stat, fouts, pbat: bool) -> bool:
-    """Vectorized + native batch emission for the device PE path (MR mode).
+                     frag_range: int, stat, fouts, pbat: bool,
+                     sam: bool = False) -> bool:
+    """Vectorized + native batch emission for the device PE path.
 
     Byte-identical to driving :func:`best_paired_mr` / ``emit.single_mr``
-    per pair from the finalizer's arrays: chromosome mapping and coordinate
-    flips run once over the batch (NumPy), line splicing/formatting in
-    walt_tpu.native (fastio.cpp pe_emit_batch).  Returns False when the
-    native batch data or library is unavailable (caller falls back to the
-    per-pair loop).
+    (MR mode) or :func:`paired_sam` (SAM mode) per pair from the finalizer's
+    arrays: chromosome mapping and coordinate flips run once over the batch
+    (NumPy), line splicing/formatting in walt_tpu.native (fastio.cpp
+    pe_emit_batch / pe_sam_emit_batch).  Returns False when the native batch
+    data or library is unavailable (caller falls back to the per-pair loop).
     """
     import numpy as np
 
@@ -116,7 +117,7 @@ def write_pair_batch(genome: Genome, fin, b1, b2, lens1, lens2,
     l2 = lens2.astype(np.int64)
     # unique pairs: forward-chrom spans of both mates (paired.cpp:98-104)
     chr1u, s1 = fwd(fin["r1_pos"], fin["r1_strand"] != 0, l1)
-    _, s2 = fwd(fin["r2_pos"], fin["r2_strand"] != 0, l2)
+    chr2u, s2 = fwd(fin["r2_pos"], fin["r2_strand"] != 0, l2)
     plus = np.ascontiguousarray((fin["r1_strand"] == 0).view(np.uint8))
     # non-unique pairs: per-mate BestMatch display coordinates
     bmp = fin["bm_pos"].reshape(n, 2)
@@ -147,6 +148,33 @@ def write_pair_batch(genome: Genome, fin, b1, b2, lens1, lens2,
     if len(cnames) > 1:
         np.cumsum(clen[:-1], out=coff[1:])
     blob = np.frombuffer(b"".join(cnames), dtype=np.uint8)
+    c = np.ascontiguousarray
+
+    if sam:
+        # display arrays merging unique hits (times := 1) and BestMatch rows
+        # -- the per-pair _emit_pair_finalized SAM path, vectorized
+        t1d = c(np.where(uniq, 1, bmt[:, 0]).astype(np.int32))
+        t2d = c(np.where(uniq, 1, bmt[:, 1]).astype(np.int32))
+        s1d = c(np.where(uniq, s1, st1))
+        s2d = c(np.where(uniq, s2, st2))
+        c1d = c(np.where(uniq, chr1u, c1s))
+        c2d = c(np.where(uniq, chr2u, c2s))
+        m1d = c(np.where(uniq, fin["r1_mm"], bmm[:, 0]).astype(np.int32))
+        m2d = c(np.where(uniq, fin["r2_mm"], bmm[:, 1]).astype(np.int32))
+        mi1 = c(np.where(uniq, fin["r1_strand"] != 0, bms[:, 0] != 0)
+                ).view(np.uint8)
+        mi2 = c(np.where(uniq, fin["r2_strand"] != 0, bms[:, 1] != 0)
+                ).view(np.uint8)
+        fragd = c(np.where(uniq, fin["frag"], 0).astype(np.int32))
+        fouts["out"].flush()
+        return native.pe_sam_emit(
+            fouts["out"].fileno(), b1.native, b2.native,
+            c(lens1, dtype=np.int32), c(lens2, dtype=np.int32),
+            fin["code"], fragd,
+            (t1d, s1d, c1d, m1d, mi1), (t2d, s2d, c2d, m2d, mi2),
+            (blob, coff, clen),
+            bool(fouts["ambiguous"]), bool(fouts["unmapped"]),
+        )
 
     handles = [fouts["out"], fouts["amb1"], fouts["unm1"], fouts["amb2"],
                fouts["unm2"]]
@@ -158,7 +186,6 @@ def write_pair_batch(genome: Genome, fin, b1, b2, lens1, lens2,
             h.flush()
             fds.append(h.fileno())
 
-    c = np.ascontiguousarray
     return native.pe_emit(
         fds, b1.native, b2.native,
         c(lens1, dtype=np.int32), c(lens2, dtype=np.int32), fin,

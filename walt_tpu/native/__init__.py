@@ -97,6 +97,26 @@ def get_lib():
         ctypes.c_int,
     ]
     lib.mr_emit_batch.restype = ctypes.c_int
+    lib.sam_emit_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int,
+        u8p, i64p, i32p, i64p, i32p,
+        u8p, ctypes.c_int32, i32p,
+        i32p, u8p, i64p, i32p,
+        i32p, u8p, i64p, i32p,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.sam_emit_batch.restype = ctypes.c_int
+    lib.pe_sam_emit_batch.argtypes = [
+        ctypes.c_int64, ctypes.c_int,
+        u8p, i64p, i32p, i64p, i32p, u8p, ctypes.c_int32, i32p,
+        u8p, i64p, i32p, u8p, ctypes.c_int32, i32p,
+        u8p, i32p,
+        i32p, i64p, i32p, i32p, u8p,
+        i32p, i64p, i32p, i32p, u8p,
+        u8p, i64p, i32p,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.pe_sam_emit_batch.restype = ctypes.c_int
     lib.dio_write.argtypes = [ctypes.c_int, u8p, ctypes.c_int64]
     lib.dio_write.restype = ctypes.c_int
     lib.se_exact_batch.argtypes = [
@@ -225,6 +245,79 @@ def mr_emit(fd_main: int, fd_amb: int, fd_unm: int, buf, name_off, name_len,
         _ptr(chr_id, ctypes.c_int32), _ptr(chr_names, ctypes.c_uint8),
         _ptr(chr_off, ctypes.c_int64), _ptr(chr_len, ctypes.c_int32),
         1 if ag_wildcard else 0,
+    )
+    return rc == 0
+
+
+def sam_emit(fd_main: int, buf, name_off, name_len, qual_off, qual_len,
+             seqbytes, slens, times, minus, starts, mm, chr_id, chr_names,
+             chr_off, chr_len, ambiguous: bool, unmapped: bool) -> bool:
+    """Native batched SE SAM emission to the main fd (fastio.cpp).  Callers
+    must flush Python-level file buffers first.  False when unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    data = np.frombuffer(buf, dtype=np.uint8)
+    n, lmax = seqbytes.shape
+    rc = lib.sam_emit_batch(
+        n, fd_main,
+        _ptr(data, ctypes.c_uint8),
+        _ptr(name_off, ctypes.c_int64), _ptr(name_len, ctypes.c_int32),
+        _ptr(qual_off, ctypes.c_int64), _ptr(qual_len, ctypes.c_int32),
+        _ptr(seqbytes, ctypes.c_uint8), lmax, _ptr(slens, ctypes.c_int32),
+        _ptr(times, ctypes.c_int32), _ptr(minus, ctypes.c_uint8),
+        _ptr(starts, ctypes.c_int64), _ptr(mm, ctypes.c_int32),
+        _ptr(chr_id, ctypes.c_int32), _ptr(chr_names, ctypes.c_uint8),
+        _ptr(chr_off, ctypes.c_int64), _ptr(chr_len, ctypes.c_int32),
+        1 if ambiguous else 0, 1 if unmapped else 0,
+    )
+    return rc == 0
+
+
+def pe_sam_emit(fd_main: int, b1_native, b2_native, len1, len2, code, frag,
+                mate1, mate2, chroms, ambiguous: bool,
+                unmapped: bool) -> bool:
+    """Native batched PE SAM emission (fastio.cpp pe_sam_emit_batch).
+
+    ``b*_native``: (buf, name_off, name_len, qual_off, qual_len, seqbytes)
+    from the native FASTQ parse.  ``mate*``: (times, start, chr, mm, minus)
+    display arrays; ``chroms``: (blob, off, len).  False when unavailable.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    buf1, noff1, nlen1, qoff1, qlen1, seqb1 = b1_native
+    buf2, _, _, qoff2, qlen2, seqb2 = b2_native
+    d1 = np.frombuffer(buf1, dtype=np.uint8)
+    d2 = np.frombuffer(buf2, dtype=np.uint8)
+    n, lmax1 = seqb1.shape
+    _, lmax2 = seqb2.shape
+    blob, coff, clen = chroms
+    t1, s1, c1, m1, mi1 = mate1
+    t2, s2, c2, m2, mi2 = mate2
+    rc = lib.pe_sam_emit_batch(
+        n, fd_main,
+        _ptr(d1, ctypes.c_uint8),
+        _ptr(noff1, ctypes.c_int64), _ptr(nlen1, ctypes.c_int32),
+        _ptr(qoff1, ctypes.c_int64), _ptr(qlen1, ctypes.c_int32),
+        _ptr(seqb1, ctypes.c_uint8), lmax1, _ptr(len1, ctypes.c_int32),
+        _ptr(d2, ctypes.c_uint8),
+        _ptr(qoff2, ctypes.c_int64), _ptr(qlen2, ctypes.c_int32),
+        _ptr(seqb2, ctypes.c_uint8), lmax2, _ptr(len2, ctypes.c_int32),
+        _ptr(code, ctypes.c_uint8), _ptr(frag, ctypes.c_int32),
+        _ptr(t1, ctypes.c_int32), _ptr(s1, ctypes.c_int64),
+        _ptr(c1, ctypes.c_int32), _ptr(m1, ctypes.c_int32),
+        _ptr(mi1, ctypes.c_uint8),
+        _ptr(t2, ctypes.c_int32), _ptr(s2, ctypes.c_int64),
+        _ptr(c2, ctypes.c_int32), _ptr(m2, ctypes.c_int32),
+        _ptr(mi2, ctypes.c_uint8),
+        _ptr(blob, ctypes.c_uint8), _ptr(coff, ctypes.c_int64),
+        _ptr(clen, ctypes.c_int32),
+        1 if ambiguous else 0, 1 if unmapped else 0,
     )
     return rc == 0
 

@@ -324,6 +324,205 @@ int mr_emit_batch(int64_t n, int fd_main, int fd_amb, int fd_unm,
   return write_err;
 }
 
+// Batched SE SAM emission (write_single_batch SAM path, emit.py; per-line
+// format is OutputSingleSAM, mapping.cpp:382-419).  Everything goes to the
+// main fd; ambiguous/unmapped records are gated by flags and distinguished
+// by FLAG bits 0x100/0x4.  starts are 0-based forward-chromosome coords
+// (the +1 happens here).  Returns 0, or -1 on a write error.
+int sam_emit_batch(int64_t n, int fd_main,
+                   const uint8_t* buf, const int64_t* name_off,
+                   const int32_t* name_len, const int64_t* qual_off,
+                   const int32_t* qual_len, const uint8_t* seqbytes,
+                   int32_t lmax, const int32_t* slens, const int32_t* times,
+                   const uint8_t* minus, const int64_t* starts,
+                   const int32_t* mm, const int32_t* chr_id,
+                   const uint8_t* chr_names, const int64_t* chr_off,
+                   const int32_t* chr_len, int ambiguous, int unmapped) {
+  constexpr size_t kFlushAt = size_t{4} << 20;
+  static std::string out;
+  out.clear();
+  int write_err = 0;
+  char num[32];
+  static std::vector<uint8_t> tmp;
+  tmp.resize(static_cast<size_t>(lmax) + kMaxLine);
+  auto rc = [](uint8_t b) -> uint8_t {
+    return b == 'A' ? 'T' : b == 'C' ? 'G' : b == 'G' ? 'C'
+           : b == 'T' ? 'A' : b;
+  };
+  for (int64_t j = 0; j < n; ++j) {
+    if (out.size() > kFlushAt) {
+      if (direct_write(fd_main, out.data(), out.size()) < 0) write_err = -1;
+      out.clear();
+    }
+    int32_t t = times[j];
+    bool neg = minus[j] != 0;
+    if (t == 0 && !unmapped) continue;
+    if (t >= 2 && !ambiguous) continue;
+    int flag = (t == 0 ? 0x4 : 0) | (neg ? 0x10 : 0) | (t >= 2 ? 0x100 : 0);
+    const uint8_t* seq = seqbytes + j * lmax;
+    const uint8_t* qual = buf + qual_off[j];
+    int32_t sl = slens[j], ql = qual_len[j];
+    if (neg) {
+      uint8_t* rs = tmp.data();
+      uint8_t* rq = tmp.data() + lmax;
+      for (int32_t k = 0; k < sl; ++k) rs[k] = rc(seq[sl - 1 - k]);
+      for (int32_t k = 0; k < ql; ++k) rq[k] = qual[ql - 1 - k];
+      seq = rs;
+      qual = rq;
+    }
+    out.append(reinterpret_cast<const char*>(buf + name_off[j]), name_len[j]);
+    out.push_back('\t');
+    out.append(num, snprintf(num, sizeof num, "%d", flag));
+    out.push_back('\t');
+    if (t == 0) {
+      out.append("*\t0\t255\t*\t*\t0\t0\t");
+    } else {
+      int32_t c = chr_id[j];
+      out.append(reinterpret_cast<const char*>(chr_names + chr_off[c]),
+                 chr_len[c]);
+      out.push_back('\t');
+      out.append(num, snprintf(num, sizeof num, "%lld",
+                               static_cast<long long>(starts[j] + 1)));
+      out.append("\t255\t", 5);
+      out.append(num, snprintf(num, sizeof num, "%dM", sl));
+      out.append("\t*\t0\t0\t", 7);
+    }
+    out.append(reinterpret_cast<const char*>(seq), sl);
+    out.push_back('\t');
+    out.append(reinterpret_cast<const char*>(qual), ql);
+    out.append("\tNM:i:", 6);
+    out.append(num, snprintf(num, sizeof num, "%d", t == 0 ? 0 : mm[j]));
+    out.push_back('\n');
+  }
+  if (!out.empty() &&
+      direct_write(fd_main, out.data(), out.size()) < 0) write_err = -1;
+  return write_err;
+}
+
+// Batched paired-end SAM emission (the _emit_pair_finalized SAM path of
+// core/paired_end + OutputPairedSAM, paired.cpp:333-435).  Per pair: FLAGs
+// via GetSAMFLAG (paired.cpp:80-95), one line per mate, both to the main
+// fd; ambiguous/unmapped mates gated by the amb/unm flags.  Display arrays
+// (times/start/chr/mm/minus per mate; times==1 rows for unique pairs) are
+// precomputed vectorized by the caller; frag is 0 for non-unique pairs.
+// Returns 0, or -1 on a write error.
+int pe_sam_emit_batch(
+    int64_t n, int fd_main,
+    const uint8_t* buf1, const int64_t* noff1, const int32_t* nlen1,
+    const int64_t* qoff1, const int32_t* qlen1, const uint8_t* seqb1,
+    int32_t lmax1, const int32_t* len1,
+    const uint8_t* buf2, const int64_t* qoff2, const int32_t* qlen2,
+    const uint8_t* seqb2, int32_t lmax2, const int32_t* len2,
+    const uint8_t* code, const int32_t* frag,
+    const int32_t* times1, const int64_t* start1, const int32_t* chr1,
+    const int32_t* mm1, const uint8_t* minus1,
+    const int32_t* times2, const int64_t* start2, const int32_t* chr2,
+    const int32_t* mm2, const uint8_t* minus2,
+    const uint8_t* chr_names, const int64_t* chr_off, const int32_t* chr_len,
+    int ambiguous, int unmapped) {
+  constexpr size_t kFlushAt = size_t{4} << 20;
+  static std::string out;
+  out.clear();
+  int write_err = 0;
+  char num[32];
+  static std::vector<uint8_t> tmp;
+  tmp.resize(static_cast<size_t>(lmax1 > lmax2 ? lmax1 : lmax2) + kMaxLine);
+  auto rc = [](uint8_t b) -> uint8_t {
+    return b == 'A' ? 'T' : b == 'C' ? 'G' : b == 'G' ? 'C'
+           : b == 'T' ? 'A' : b;
+  };
+  auto put_num = [&](long long v) {
+    out.append(num, snprintf(num, sizeof num, "%lld", v));
+  };
+  for (int64_t j = 0; j < n; ++j) {
+    if (out.size() > kFlushAt) {
+      if (direct_write(fd_main, out.data(), out.size()) < 0) write_err = -1;
+      out.clear();
+    }
+    bool is_pm = code[j] == 0;
+    int32_t t1 = times1[j], t2 = times2[j];
+    bool n1 = minus1[j] != 0, n2 = minus2[j] != 0;
+    int flag1 = 0x1 | (is_pm ? 0x2 : 0) | (t1 == 0 ? 0x4 : 0) |
+                (t2 == 0 ? 0x8 : 0) | (n1 ? 0x10 : 0) | (n2 ? 0x20 : 0) |
+                0x40 | (t1 >= 2 ? 0x100 : 0);
+    int flag2 = 0x1 | (is_pm ? 0x2 : 0) | (t2 == 0 ? 0x4 : 0) |
+                (t1 == 0 ? 0x8 : 0) | (n2 ? 0x10 : 0) | (n1 ? 0x20 : 0) |
+                0x80 | (t2 >= 2 ? 0x100 : 0);
+    // 1-based display starts; 0 when unmapped (paired_sam)
+    long long s1 = t1 == 0 ? 0 : start1[j] + 1;
+    long long s2 = t2 == 0 ? 0 : start2[j] + 1;
+    int32_t m1 = t1 == 0 ? 0 : mm1[j];
+    int32_t m2 = t2 == 0 ? 0 : mm2[j];
+    long long fl = frag[j];
+    for (int mate = 1; mate <= 2; ++mate) {
+      int32_t t = mate == 1 ? t1 : t2;
+      if (t == 0 && !unmapped) continue;
+      if (t >= 2 && !ambiguous) continue;
+      bool neg = mate == 1 ? n1 : n2;
+      const uint8_t* seq = (mate == 1 ? seqb1 : seqb2) +
+                           j * (mate == 1 ? lmax1 : lmax2);
+      const uint8_t* qual = (mate == 1 ? buf1 : buf2) +
+                            (mate == 1 ? qoff1 : qoff2)[j];
+      int32_t sl = (mate == 1 ? len1 : len2)[j];
+      int32_t ql = (mate == 1 ? qlen1 : qlen2)[j];
+      if (neg) {
+        uint8_t* rs = tmp.data();
+        uint8_t* rq = tmp.data() + (mate == 1 ? lmax1 : lmax2);
+        for (int32_t k = 0; k < sl; ++k) rs[k] = rc(seq[sl - 1 - k]);
+        for (int32_t k = 0; k < ql; ++k) rq[k] = qual[ql - 1 - k];
+        seq = rs;
+        qual = rq;
+      }
+      int flag = mate == 1 ? flag1 : flag2;
+      int32_t mt = mate == 1 ? t2 : t1;   // the OTHER mate
+      int32_t mc = mate == 1 ? chr2[j] : chr1[j];
+      long long ms = mate == 1 ? s2 : s1;
+      long long tlen = neg ? -fl : fl;
+      out.append(reinterpret_cast<const char*>(buf1 + noff1[j]), nlen1[j]);
+      out.push_back('\t');
+      put_num(flag);
+      out.push_back('\t');
+      if (t == 0) {
+        out.append("*\t", 2);
+        put_num(mate == 1 ? s1 : s2);
+        out.append("\t255\t*\t", 7);
+      } else {
+        int32_t c = mate == 1 ? chr1[j] : chr2[j];
+        out.append(reinterpret_cast<const char*>(chr_names + chr_off[c]),
+                   chr_len[c]);
+        out.push_back('\t');
+        put_num(mate == 1 ? s1 : s2);
+        out.append("\t255\t", 5);
+        out.append(num, snprintf(num, sizeof num, "%dM", sl));
+        out.push_back('\t');
+      }
+      // RNEXT: "=" when the pair mapped; else mate's chrom or "*"
+      if (is_pm) {
+        out.push_back('=');
+      } else if (mt == 0) {
+        out.push_back('*');
+      } else {
+        out.append(reinterpret_cast<const char*>(chr_names + chr_off[mc]),
+                   chr_len[mc]);
+      }
+      out.push_back('\t');
+      put_num(ms);
+      out.push_back('\t');
+      put_num(tlen);
+      out.push_back('\t');
+      out.append(reinterpret_cast<const char*>(seq), sl);
+      out.push_back('\t');
+      out.append(reinterpret_cast<const char*>(qual), ql);
+      out.append("\tNM:i:", 6);
+      put_num(mate == 1 ? m1 : m2);
+      out.push_back('\n');
+    }
+  }
+  if (!out.empty() &&
+      direct_write(fd_main, out.data(), out.size()) < 0) write_err = -1;
+  return write_err;
+}
+
 // Batched paired-end MR emission (the per-pair loop of
 // core/paired_end.process_paired_end): for each pair either the merged
 // FRAG record (OutputBestPairedResults, paired.cpp:210-294) or the two
