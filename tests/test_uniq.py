@@ -1,0 +1,134 @@
+"""Word-0 run dedup (uniq) path: builder equivalence + mapping correctness.
+
+The uniq structure (ops/device_index.build_uniq_device/build_uniq_host)
+re-expresses each bucket's sorted entries as runs of equal first packed key
+words; the pipeline's fast path then searches runs instead of entries
+(ops/pipeline.map_strand_core uniq_* args).  These tests pin:
+
+- device and host builders produce identical structures;
+- the full_mask variant (every read compares a full word 0, e.g. >=86bp
+  under pattern 3) matches the exact host enumerator -- the standard
+  fixtures only carry <=80bp reads, which ride the masked-prefix variant;
+- mixed batches straddling the full_mask boundary stay exact.
+"""
+
+import numpy as np
+import pytest
+
+from walt_tpu.constants import get_pattern
+from walt_tpu.index import io_walt
+
+from .conftest import simulate_reads, write_fastq
+
+
+@pytest.fixture(scope="module")
+def table(my_index):
+    genome_meta, _ = io_walt.read_head(my_index)
+    return io_walt.read_table(my_index + "_CT00", genome_meta)
+
+
+def test_builders_agree(table):
+    import jax.numpy as jnp
+
+    from walt_tpu.core.refmap import padded_seq
+    from walt_tpu.ops.device_index import (
+        build_uniq_device, build_uniq_host, pack_key_words,
+    )
+    from walt_tpu.ops.packing import pack_genome_np
+
+    g, ht = table
+    pattern = get_pattern("3")
+    w0 = pack_key_words(padded_seq(g, pattern), ht.index, pattern)[:, 0]
+    h_uw, h_uo, h_uc, h_bits = build_uniq_host(w0, ht.counter)
+    d_uw, d_uo, d_uc, d_bits = build_uniq_device(
+        jnp.asarray(pack_genome_np(g.seq, tail_words=66)),
+        jnp.asarray(ht.index), jnp.asarray(ht.counter), pattern,
+        chunk=1 << 10,  # force many chunks + carry handling
+    )
+    assert h_bits == d_bits
+    assert np.array_equal(h_uw, np.asarray(d_uw))
+    assert np.array_equal(h_uo, np.asarray(d_uo))
+    assert np.array_equal(h_uc, np.asarray(d_uc))
+    # structure sanity: runs tile the entry space, buckets tile the runs
+    assert h_uo[0] == 0 and h_uo[-1] == len(ht.index)
+    assert (np.diff(h_uo.astype(np.int64)) > 0).all()
+    assert h_uc[0] == 0 and h_uc[-1] == len(h_uw)
+
+
+def _diff_vs_oracle(table, fastq, b=5000, max_mm=6, **backend_kw):
+    from walt_tpu.core.backends import NumpyBackend
+    from walt_tpu.core.jax_backend import JaxBackend
+    from walt_tpu.host.fastq import FgetsLines, load_batch
+
+    g, ht = table
+    pattern = get_pattern("3")
+    batch = load_batch(FgetsLines(fastq), 10**6)
+    codes, lens = batch.packed()
+    ref = NumpyBackend().map_strand(
+        codes, lens, g, ht, False, b, max_mm, pattern
+    )
+    got = JaxBackend(**backend_kw).map_strand(
+        codes, lens, g, ht, False, b, max_mm, pattern
+    )
+    as_tup = lambda s: [(int(x), int(y), int(z)) for x, y, z in s]
+    bad = [i for i in range(len(ref)) if as_tup(ref[i]) != as_tup(got[i])]
+    assert not bad, f"{len(bad)} reads diverge, first: {bad[:5]}"
+
+
+@pytest.fixture(scope="module")
+def long_fastq(work):
+    """>=86bp reads: full word-0 masks, the uniq full_mask variant."""
+    from walt_tpu.genome import load_genome
+
+    g = load_genome([str(work / "genome.fa")])
+    rng = np.random.default_rng(29)
+    recs = simulate_reads(g, rng, 120, 100)
+    path = work / "se_long.fq"
+    write_fastq(path, recs)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def mixed_fastq(work):
+    """Reads straddling the full_mask boundary in one batch."""
+    from walt_tpu.genome import load_genome
+
+    g = load_genome([str(work / "genome.fa")])
+    rng = np.random.default_rng(31)
+    recs = simulate_reads(g, rng, 60, 100)
+    recs += simulate_reads(g, rng, 60, 80, name_prefix="m")
+    recs += simulate_reads(g, rng, 20, 45, name_prefix="s")
+    path = work / "se_mixed.fq"
+    write_fastq(path, recs)
+    return str(path)
+
+
+def test_full_mask_variant_vs_oracle(table, long_fastq):
+    from walt_tpu.core.jax_backend import JaxBackend
+
+    pattern = get_pattern("3")
+    assert JaxBackend._full_mask(np.full(8, 100, np.int32), pattern)
+    _diff_vs_oracle(table, long_fastq)
+
+
+def test_mixed_lengths_vs_oracle(table, mixed_fastq):
+    from walt_tpu.core.jax_backend import JaxBackend
+
+    pattern = get_pattern("3")
+    # a chunk holding any partial-word0 read must take the two-probe path
+    assert not JaxBackend._full_mask(
+        np.asarray([100, 80], np.int32), pattern
+    )
+    _diff_vs_oracle(table, mixed_fastq)
+
+
+def test_full_mask_helper(table):
+    from walt_tpu.core.jax_backend import JaxBackend
+
+    pattern = get_pattern("3")
+    fm = JaxBackend._full_mask
+    assert fm(np.asarray([86, 100, 200], np.int32), pattern)
+    assert not fm(np.asarray([85], np.int32), pattern)
+    # sub-minimum reads never map: they do not constrain the variant
+    assert fm(np.asarray([0, 8, 100], np.int32), pattern)
+    assert fm(np.asarray([0], np.int32), pattern)

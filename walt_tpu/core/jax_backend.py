@@ -120,12 +120,14 @@ class JaxBackend:
 
                 dt = build_device_table(genome, table, pattern,
                                         with_key_words=True)
-                dev = place_sharded_table(
-                    shard_device_table(dt, self._tp), self.mesh
-                )
+                st = shard_device_table(dt, self._tp)
+                dev = place_sharded_table(st, self.mesh)
+                dt.uniq_bits = st.uniq_bits
                 dt.key_words = None  # free the host copy (3x index bytes)
             else:
-                from walt_tpu.ops.device_index import build_key_words_device
+                from walt_tpu.ops.device_index import (
+                    build_key_words_device, build_uniq_device,
+                )
 
                 dt = build_device_table(genome, table, pattern)
                 dev = dict(
@@ -135,13 +137,37 @@ class JaxBackend:
                     start_index=jnp.asarray(dt.start_index),
                     bucket_flagged=jnp.asarray(dt.bucket_flagged),
                 )
-                # packed lookup keys from the uploaded genome: saves the
-                # 48-gather host pass and a 12-bytes/entry transfer
-                dev["key_words"] = build_key_words_device(
-                    dev["pseq"], dt.index, pattern, n_key_words=n_key_words
+                # word-0 run dedup, computed from the resident arrays: the
+                # fast path searches runs (uniq_bits <= max_bucket_bits
+                # probes) and needs no per-slot membership gathers at all
+                (dev["uniq_words"], dev["uniq_off"], dev["uniq_counter"],
+                 dt.uniq_bits) = build_uniq_device(
+                    dev["pseq"], dev["index"], dev["counter"], pattern
                 )
+                if n_key_words >= 3:
+                    # packed lookup keys from the uploaded genome: saves the
+                    # 48-gather host pass and a 12-bytes/entry transfer.
+                    # Only the exact_b path (b below the verify slabs) reads
+                    # them; fast-only runs get a dummy and save 4 B/entry.
+                    dev["key_words"] = build_key_words_device(
+                        dev["pseq"], dt.index, pattern,
+                        n_key_words=n_key_words,
+                    )
+                else:
+                    dev["key_words"] = jnp.zeros((1, 1), dtype=jnp.uint32)
             self._tables[key] = (dt, dev)
         return self._tables[key]
+
+    @staticmethod
+    def _full_mask(lens_: np.ndarray, pattern: SeedPattern) -> bool:
+        """True when every mappable read in the slice compares a full first
+        packed key word (seed_len >= key_weight + 16) -- the uniq path then
+        needs no upper-bound probe chain (ops/pipeline full_mask)."""
+        ok = lens_ >= pattern.min_read_len
+        if not ok.any():
+            return True
+        sl = np.asarray(pattern.seed_len_for_len(lens_[ok]))
+        return bool(sl.min() >= pattern.key_weight + 16)
 
     def _needed_key_words(self, b: int) -> int:
         """1 word when no tier can take the exact_b path, else all 3."""
@@ -211,18 +237,20 @@ class JaxBackend:
         mismatch (n,) int32, fallback (n,) bool).
         """
         n = codes.shape[0]
-        devs, bits = [], []
+        devs, bits, ubits = [], [], []
         nkw = self._needed_key_words(b)
         for g, ht in tables:
             dt, dev = self._device_table(g, ht, pattern, nkw)
             devs.append(dev)
             bits.append(dt.max_bucket_bits)
+            ubits.append(dt.uniq_bits)
 
         def run(codes_, lens_, seeds, slab, cand_slab=None, chunk=None,
                 wl_factor=pipeline.WL_FACTOR):
             m = codes_.shape[0]
             results = []
             for a, z, pc, pl in self._chunks(codes_, lens_, pattern, chunk):
+                fm = self._full_mask(lens_[a:z], pattern)
                 if self.mesh is not None:
                     from walt_tpu.parallel import map_single_end_sharded
 
@@ -233,6 +261,7 @@ class JaxBackend:
                         search_bits=tuple(bits), verify_slab=slab,
                         cand_slab=cand_slab or self.cand_slab, seeds=seeds,
                         wl_factor=wl_factor, exact_b=b < slab,
+                        uniq_bits=tuple(ubits), full_mask=fm,
                     )
                 else:
                     r = se_fold.map_single_end_device(
@@ -242,6 +271,7 @@ class JaxBackend:
                         verify_slab=slab,
                         cand_slab=cand_slab or self.cand_slab,
                         seeds=seeds, wl_factor=wl_factor, exact_b=b < slab,
+                        uniq_bits=tuple(ubits), full_mask=fm,
                     )
                 results.append((a, z, r))
             out = [np.empty(m, t) for t in
@@ -344,6 +374,7 @@ class JaxBackend:
             m = codes_.shape[0]
             results = []
             for a, z, pc, pl in self._chunks(codes_, lens_, pattern, chunk):
+                fm = self._full_mask(lens_[a:z], pattern)
                 if self.mesh is not None:
                     from walt_tpu.parallel import map_strand_sharded
 
@@ -355,6 +386,10 @@ class JaxBackend:
                         pattern_name=pattern.name, ag_wildcard=ag_wildcard,
                         search_bits=dt.max_bucket_bits, verify_slab=slab,
                         cand_slab=C, wl_factor=wl_factor, exact_b=b < slab,
+                        uniq_counter=dev["uniq_counter"],
+                        uniq_words=dev["uniq_words"],
+                        uniq_off=dev["uniq_off"],
+                        uniq_bits=dt.uniq_bits, full_mask=fm,
                     )
                 else:
                     r = pipeline.map_strand_device(
@@ -362,7 +397,8 @@ class JaxBackend:
                         pattern_name=pattern.name, ag_wildcard=ag_wildcard,
                         search_bits=dt.max_bucket_bits,
                         verify_slab=slab, cand_slab=C, wl_factor=wl_factor,
-                        exact_b=b < slab, **dev,
+                        exact_b=b < slab, uniq_bits=dt.uniq_bits,
+                        full_mask=fm, **dev,
                     )
                 results.append((a, z, r))
             out = (
@@ -405,12 +441,13 @@ class JaxBackend:
         from walt_tpu.ops import pe_map
 
         n = codes.shape[0]
-        devs, bits = [], []
+        devs, bits, ubits = [], [], []
         nkw = self._needed_key_words(b)
         for g, ht in tables:
             dt, dev = self._device_table(g, ht, pattern, nkw)
             devs.append(dev)
             bits.append(dt.max_bucket_bits)
+            ubits.append(dt.uniq_bits)
 
         C = self.cand_slab
         results = []
@@ -421,6 +458,8 @@ class JaxBackend:
                 cand_slab=C, wl_factor=self._wl1,
                 exact_b=b < self.verify_slab_t1,
                 flat_factor=pe_map.FLAT_FACTOR,
+                uniq_bits=tuple(ubits),
+                full_mask=self._full_mask(lens[a:z], pattern),
             )
             if self.mesh is not None:
                 from walt_tpu.parallel import map_mate_sharded

@@ -50,6 +50,8 @@ class DeviceTable:
     bucket_flagged: np.ndarray  # uint8 bit mask (4^12,): 1=fast, 2=exact_b
     max_bucket_bits: int  # static: iterations for the binary search
     strand: str
+    #: static probe count for the run-space (uniq) search; 0 = not built
+    uniq_bits: int = 0
 
     def nbytes(self) -> int:
         return (
@@ -191,6 +193,127 @@ def build_device_table(genome: Genome, table: HashTable,
         max_bucket_bits=max(1, int(np.ceil(np.log2(max_bucket + 1)))),
         strand=genome.strand,
     )
+
+
+def build_uniq_host(word0: np.ndarray, counter: np.ndarray):
+    """Dedup word-0 runs within buckets (host NumPy; see build_uniq_device).
+
+    ``word0``: (n,) uint32 first packed lookup key word per entry (stored
+    bucket order); ``counter``: (nb + 1,) uint32 CSR offsets.  Returns
+    (uniq_words (U,) u32, uniq_off (U + 1,) u32, uniq_counter (nb + 1,) u32,
+    uniq_bits int).
+    """
+    n = int(word0.shape[0])
+    breaks = np.zeros(n, dtype=bool)
+    if n:
+        breaks[0] = True
+        breaks[1:] |= word0[1:] != word0[:-1]
+        # a bucket boundary always starts a new run, even on equal words
+        c = counter[(counter > 0) & (counter < n)]
+        breaks[c.astype(np.int64)] = True
+    starts = np.flatnonzero(breaks).astype(np.uint32)
+    uniq_words = word0[starts.astype(np.int64)]
+    uniq_off = np.append(starts, np.uint32(n)).astype(np.uint32)
+    uniq_counter = np.searchsorted(starts, counter).astype(np.uint32)
+    mx = int(np.diff(uniq_counter.astype(np.int64)).max()) if n else 0
+    return (uniq_words, uniq_off, uniq_counter,
+            max(1, int(np.ceil(np.log2(mx + 1)))))
+
+
+def build_uniq_device(pseq_dev, index_dev, counter_dev, pattern: SeedPattern,
+                      chunk: int = 1 << 22):
+    """Dedup word-0 runs within buckets, computed on device.
+
+    Entries within a bucket are stored sorted by their cared positions, so
+    equal word-0 lookup keys form contiguous runs.  The mapping pipeline's
+    uniq path (ops/pipeline.map_strand_core) binary-searches RUNS instead of
+    entries: the probe count drops from log2(max entries/bucket) to
+    log2(max runs/bucket) and slab admission loses its per-slot key gathers
+    entirely.  Repeat-heavy buckets (the Table S2 tail that sets the static
+    search depth) collapse hardest: a tandem repeat's near-identical
+    suffixes are a handful of runs.
+
+    Everything runs from the already-resident device arrays (no host pass,
+    no extra tunnel upload).  Returns (uniq_words (U,) u32, uniq_off
+    (U + 1,) u32, uniq_counter (nb + 1,) u32, uniq_bits int), all device
+    arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from walt_tpu.ops import packing
+
+    kw = pattern.key_weight
+    offs = tuple(int(pattern.cared[p]) for p in
+                 range(kw, min(pattern.cared_size, kw + POS_PER_WORD)))
+    n_win = (max(offs) >> 4) + 2 if offs else 1
+    n = int(index_dev.shape[0])
+    nb1 = counter_dev.shape[0]
+    if n == 0:
+        z = jnp.zeros((0,), jnp.uint32)
+        return z, jnp.zeros((1,), jnp.uint32), jnp.zeros((nb1,), jnp.uint32), 1
+    chunk = min(chunk, n)
+
+    # bucket-start bitmap, built once from the resident counter
+    bstart_full = jnp.zeros((n,), jnp.bool_).at[counter_dev].set(
+        True, mode="drop"
+    )
+
+    @jax.jit
+    def one_chunk(pseq, index_dev, bstart_full, base, nvalid, carry):
+        ent = jax.lax.dynamic_slice(index_dev, (base,), (chunk,))
+        bs = jax.lax.dynamic_slice(bstart_full, (base,), (chunk,))
+        win = packing.window_words(pseq, ent.astype(jnp.int32), n_win - 1)
+        w0 = jnp.zeros((chunk,), dtype=jnp.uint32)
+        for i in range(POS_PER_WORD):
+            w0 = w0 << jnp.uint32(2)
+            if i < len(offs):
+                off = offs[i]
+                w0 = w0 | (
+                    (win[:, off >> 4] >> jnp.uint32(30 - 2 * (off & 15))) & 3
+                )
+        i32 = jnp.arange(chunk, dtype=jnp.int32)
+        prev = jnp.concatenate([carry, w0[:-1]])
+        breaks = (bs | (w0 != prev)) & (i32 < nvalid)
+        uid = jnp.cumsum(breaks.astype(jnp.int32)) - 1
+        cnt = uid[-1] + 1
+        # run starts are unique scatter targets; non-starts drop at `chunk`
+        dest = jnp.where(breaks, uid, chunk)
+        uw = jnp.zeros((chunk,), jnp.uint32).at[dest].set(w0, mode="drop")
+        us = jnp.zeros((chunk,), jnp.uint32).at[dest].set(
+            base.astype(jnp.uint32) + i32.astype(jnp.uint32), mode="drop"
+        )
+        return w0[-1:], uw, us, cnt
+
+    pad = (-n) % chunk
+    ipad = (jnp.concatenate([index_dev, jnp.zeros((pad,), index_dev.dtype)])
+            if pad else index_dev)
+    bpad = (jnp.concatenate([bstart_full, jnp.zeros((pad,), jnp.bool_)])
+            if pad else bstart_full)
+    carry = jnp.zeros((1,), jnp.uint32)
+    uw_parts, us_parts = [], []
+    for a in range(0, n, chunk):
+        carry, uw, us, cnt = one_chunk(
+            pseq_dev, ipad, bpad, jnp.int32(a),
+            jnp.int32(min(n - a, chunk)), carry,
+        )
+        c = int(cnt)  # sync: slices the padded buffers free per chunk
+        uw_parts.append(uw[:c])
+        us_parts.append(us[:c])
+    starts = (jnp.concatenate(us_parts) if len(us_parts) > 1 else us_parts[0])
+    uniq_words = (jnp.concatenate(uw_parts) if len(uw_parts) > 1
+                  else uw_parts[0])
+    uniq_off = jnp.concatenate(
+        [starts, jnp.full((1,), n, dtype=jnp.uint32)]
+    )
+    uniq_counter = jnp.searchsorted(
+        starts, counter_dev, side="left"
+    ).astype(jnp.uint32)
+    mx = int(jnp.max(
+        uniq_counter[1:].astype(jnp.int32) - uniq_counter[:-1].astype(jnp.int32)
+    ))
+    return (uniq_words, uniq_off, uniq_counter,
+            max(1, int(np.ceil(np.log2(mx + 1)))))
 
 
 def build_key_words_device(pseq_dev, index_np: np.ndarray,

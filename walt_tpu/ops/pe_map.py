@@ -80,7 +80,8 @@ def flat_compact(slabs, fb, flat_factor: int):
     jax.jit,
     static_argnames=(
         "pattern_name", "ag_wildcard", "search_bits", "verify_slab",
-        "cand_slab", "wl_factor", "exact_b", "flat_factor",
+        "cand_slab", "wl_factor", "exact_b", "flat_factor", "uniq_bits",
+        "full_mask",
     ),
 )
 def map_mate_device(preads, lens, b, max_mm, tables, *, pattern_name: str,
@@ -89,7 +90,8 @@ def map_mate_device(preads, lens, b, max_mm, tables, *, pattern_name: str,
                     cand_slab: int = pipeline.CAND_SLAB,
                     wl_factor: int = pipeline.WL_FACTOR,
                     exact_b: bool = False,
-                    flat_factor: int = FLAT_FACTOR):
+                    flat_factor: int = FLAT_FACTOR,
+                    uniq_bits: tuple = (0, 0), full_mask: bool = False):
     """One mate against both strand tables -> (meta (B,), flat (M, 2)).
 
     ``tables``: tuple of two device-table dicts ('+' first, the file order
@@ -97,13 +99,16 @@ def map_mate_device(preads, lens, b, max_mm, tables, *, pattern_name: str,
     """
     slabs = []
     fb = None
-    for t, bits in zip(tables, search_bits):
+    for t, bits, ubits in zip(tables, search_bits, uniq_bits):
         cs, cp, cm, _, f = pipeline.map_strand_core(
             preads, lens, b, max_mm, t["pseq"], t["counter"], t["index"],
             t["key_words"], t["start_index"], t["bucket_flagged"],
             pattern_name=pattern_name, ag_wildcard=ag_wildcard,
             search_bits=bits, verify_slab=verify_slab, cand_slab=cand_slab,
             wl_factor=wl_factor, exact_b=exact_b,
+            uniq_words=t.get("uniq_words"), uniq_off=t.get("uniq_off"),
+            uniq_counter=t.get("uniq_counter"), uniq_bits=ubits,
+            full_mask=full_mask,
         )
         slabs.append((cs, cp, cm))
         fb = f if fb is None else (fb | f)

@@ -87,6 +87,8 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
                     cand_slab: int = CAND_SLAB,
                     key_base=None, seeds: tuple | None = None,
                     wl_factor: int = WL_FACTOR, exact_b: bool = False,
+                    uniq_words=None, uniq_off=None, uniq_counter=None,
+                    uniq_bits: int = 0, full_mask: bool = False,
                     stage_out: str | None = None):
     """Map a read batch against one table (trace-level core).
 
@@ -110,6 +112,26 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     True: the original full-lexicographic formulation, required when the
     runtime ``b`` is smaller than the verify slab so the refined COUNT
     itself (mapping.cpp:275-277) must be exact within the slab.
+
+    ``uniq_words``/``uniq_off``/``uniq_counter``/``uniq_bits``: the deduped
+    word-0 run structure (ops/device_index.build_uniq_device).  Entries
+    within a bucket are stored sorted, so equal word-0 lookup keys form
+    contiguous runs; ``uniq_words[u]`` is run u's key word, ``uniq_off[u]``
+    its first entry index, ``uniq_counter`` the per-bucket CSR over runs.
+    With ``uniq_bits > 0`` (and not ``exact_b``) the refinement searches the
+    RUN space instead of the entry space: the lower-bound needs
+    ceil(log2(max runs/bucket)) probes instead of ceil(log2(max
+    entries/bucket)) -- never more, far fewer on repeat-heavy genomes -- and
+    slab admission becomes pure arithmetic on the run bounds instead of
+    ``verify_slab`` gathered key words per (read, seed).  ``key_words`` may
+    then be a dummy array (it is only read on the ``exact_b`` path).
+
+    ``full_mask``: static promise that every real read in the chunk compares
+    a FULL first key word (seed_len >= key_weight + 16, e.g. every >=86bp
+    read under pattern 3).  The refined run is then exactly one word-0 run
+    and its end is one ``uniq_off`` gather past the lower bound; without the
+    promise a second (upper-bound) probe chain finds the end of the
+    masked-prefix run group.
     """
     pattern = get_pattern(pattern_name)
     plen = pattern.pattern_len
@@ -155,19 +177,23 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     # --- seed hash keys: (B, S) ---
     key = pack16(cvals[..., :kw])
 
+    use_uniq = uniq_bits > 0 and not exact_b and uniq_words is not None
     # bucket_flagged is a per-bucket bit mask: bit0 = host-fallback in the
-    # fast path, bit1 = host-fallback in the exact_b path (device_index)
+    # fast path, bit1 = host-fallback in the exact_b path (device_index).
+    # On the uniq path lo/hi are RUN-space bucket bounds (uniq_counter);
+    # otherwise entry-space (counter).
+    bounds = uniq_counter if use_uniq else counter
     fbit = jnp.uint8(2 if exact_b else 1)
     if key_base is None:
-        lo = jnp.take(counter, key).astype(jnp.int32)  # (B, S)
-        hi = jnp.take(counter, key + 1).astype(jnp.int32)
+        lo = jnp.take(bounds, key).astype(jnp.int32)  # (B, S)
+        hi = jnp.take(bounds, key + 1).astype(jnp.int32)
         flagged = (jnp.take(bucket_flagged, key) & fbit) != 0  # (B, S)
     else:
         local = key - jnp.uint32(key_base)  # wraps below base -> large
-        in_range = local < jnp.uint32(counter.shape[0] - 1)
+        in_range = local < jnp.uint32(bounds.shape[0] - 1)
         lidx = jnp.where(in_range, local, 0).astype(jnp.int32)
-        lo = jnp.where(in_range, jnp.take(counter, lidx).astype(jnp.int32), 0)
-        hi = jnp.where(in_range, jnp.take(counter, lidx + 1).astype(jnp.int32), 0)
+        lo = jnp.where(in_range, jnp.take(bounds, lidx).astype(jnp.int32), 0)
+        hi = jnp.where(in_range, jnp.take(bounds, lidx + 1).astype(jnp.int32), 0)
         flagged = in_range & ((jnp.take(bucket_flagged, lidx) & fbit) != 0)
 
     # stage_out: profiling hook (tools/device_profile.py).  Returning a tiny
@@ -207,40 +233,87 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     # number of key words probed by the search and the slab admission; the
     # fast path defers words beyond the first to the window cared check
     nprobe = npw if exact_b else 1
-    # the device table may carry fewer packed key words than the read needs
-    # (word0-only tables halve per-entry HBM for default -b runs, which
-    # never take the exact_b path); probing more words than stored is a
-    # caller error
-    if key_words.ndim == 1:
-        key_words = key_words[:, None]
-    if key_words.shape[1] < nprobe:
-        raise ValueError(
-            f"device table stores {key_words.shape[1]} key word(s) but the "
-            f"exact_b={exact_b} path probes {nprobe}; rebuild the table with "
-            f"n_key_words={nprobe}"
-        )
-    kws = [key_words[:, w] for w in range(min(npw, key_words.shape[1]))]
+    run_len = None
+    if not use_uniq:
+        # the device table may carry fewer packed key words than the read
+        # needs (word0-only tables halve per-entry HBM for default -b runs,
+        # which never take the exact_b path); probing more words than stored
+        # is a caller error
+        if key_words.ndim == 1:
+            key_words = key_words[:, None]
+        if key_words.shape[1] < nprobe:
+            raise ValueError(
+                f"device table stores {key_words.shape[1]} key word(s) but "
+                f"the exact_b={exact_b} path probes {nprobe}; rebuild the "
+                f"table with n_key_words={nprobe}"
+            )
+        kws = [key_words[:, w] for w in range(min(npw, key_words.shape[1]))]
 
-    def probe(mid):
-        # mode="clip" folds the bounds guard into the gather
-        es = [jnp.take(kw_, mid, mode="clip") & m
-              for kw_, m in zip(kws[:nprobe], masks[:nprobe])]
-        return _lex_ge(es, rws[:nprobe])
+        def probe(mid):
+            # mode="clip" folds the bounds guard into the gather
+            es = [jnp.take(kw_, mid, mode="clip") & m
+                  for kw_, m in zip(kws[:nprobe], masks[:nprobe])]
+            return _lex_ge(es, rws[:nprobe])
 
-    # first entry >= read prefix: the refined run starts here.  The loop is
-    # UNROLLED (search_bits is static, <= 32): each iteration is one
-    # sequential HBM gather; lax.fori_loop's per-trip loop machinery costs
-    # more than the duplicated body on this gather-latency-bound chain.
-    l, r = lo, hi
-    for _ in range(search_bits):
-        mid = (l + r) // 2
-        ge = probe(mid)
-        active = l < r
-        r = jnp.where(active & ge, mid, r)
-        l = jnp.where(active & ~ge, mid + 1, l)
-    lower = l
+        # first entry >= read prefix: the refined run starts here.  The loop
+        # is UNROLLED (search_bits is static, <= 32): each iteration is one
+        # sequential HBM gather; lax.fori_loop's per-trip loop machinery
+        # costs more than the duplicated body on this gather-latency-bound
+        # chain.
+        l, r = lo, hi
+        for _ in range(search_bits):
+            mid = (l + r) // 2
+            ge = probe(mid)
+            active = l < r
+            r = jnp.where(active & ge, mid, r)
+            l = jnp.where(active & ~ge, mid + 1, l)
+        lower = l
+    else:
+        # run-space refinement: lo/hi bound the bucket's word-0 RUNS; the
+        # lower bound over uniq_words needs uniq_bits probes (<= the entry
+        # search's, usually far fewer), and the run bounds then give the
+        # refined region in entry space with two uniq_off gathers -- no
+        # per-slab-slot membership gathers at all.
+        m0, rw0 = masks[0], rws[0]
+
+        def uprobe(mid, strict):
+            e = jnp.take(uniq_words, mid, mode="clip") & m0
+            return (e > rw0) if strict else (e >= rw0)
+
+        l, r = lo, hi
+        for _ in range(uniq_bits):
+            mid = (l + r) // 2
+            ge = uprobe(mid, False)
+            active = l < r
+            r = jnp.where(active & ge, mid, r)
+            l = jnp.where(active & ~ge, mid + 1, l)
+        lu = l
+        elo = jnp.take(uniq_off, lu, mode="clip").astype(jnp.int32)
+        if full_mask:
+            # every real read compares a full word 0, so the refined region
+            # is exactly one run: present iff uniq_words[lu] equals it
+            uw = jnp.take(uniq_words, lu, mode="clip") & m0
+            hit = (lu < hi) & (uw == rw0)
+            ehi = jnp.where(
+                hit,
+                jnp.take(uniq_off, lu + 1, mode="clip").astype(jnp.int32),
+                elo,
+            )
+        else:
+            # masked (short-read) prefixes can span several runs: a second
+            # probe chain finds the first run past the prefix group
+            l2, r2 = lu, hi
+            for _ in range(uniq_bits):
+                mid = (l2 + r2) // 2
+                gt = uprobe(mid, True)
+                active = l2 < r2
+                r2 = jnp.where(active & gt, mid, r2)
+                l2 = jnp.where(active & ~gt, mid + 1, l2)
+            ehi = jnp.take(uniq_off, l2, mode="clip").astype(jnp.int32)
+        lower = elo
+        run_len = jnp.maximum(ehi - elo, 0)
     if stage_out == "search":
-        return jnp.sum(lower)
+        return jnp.sum(lower) + (jnp.sum(run_len) if use_uniq else 0)
 
     # --- slab membership from the SAME packed lookup keys the probes read:
     # an entry is in the reference's refined equal range iff its cared bases
@@ -250,22 +323,30 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     # words the old formulation compared under a cared mask.
     shifts = jnp.asarray(seeds, dtype=jnp.int32)  # (S,)
     j = jnp.arange(C, dtype=jnp.int32)
-    in_bucket = j[None, None, :] < (hi - lower)[:, :, None]
-    slot = lower[:, :, None] + j[None, None, :]
-    slotc = jnp.clip(slot, 0, n_entries - 1)
-    refined = in_bucket
-    for kw_, m, rw in zip(kws[:nprobe], masks[:nprobe], rws[:nprobe]):
-        es = jnp.take(kw_, slotc) & m[:, :, None]
-        refined = refined & (es == rw[:, :, None])
+    if use_uniq:
+        # run bounds are exact: slab admission is pure arithmetic
+        refined_cnt = jnp.minimum(run_len, C)
+        refined = j[None, None, :] < refined_cnt[:, :, None]
+        capped = refined_cnt > b  # never fires in the fast path (b >= slab)
+        overflow = (run_len > C) & ~capped
+    else:
+        in_bucket = j[None, None, :] < (hi - lower)[:, :, None]
+        slot = lower[:, :, None] + j[None, None, :]
+        slotc = jnp.clip(slot, 0, n_entries - 1)
+        refined = in_bucket
+        for kw_, m, rw in zip(kws[:nprobe], masks[:nprobe], rws[:nprobe]):
+            es = jnp.take(kw_, slotc) & m[:, :, None]
+            refined = refined & (es == rw[:, :, None])
 
-    refined_cnt = jnp.sum(refined, axis=-1, dtype=jnp.int32)  # (B, S)
-    capped = refined_cnt > b  # seed skipped entirely (mapping.cpp:275-277)
-    # run may extend past the slab: every examined slot matched and bucket
-    # entries remain beyond it -> this read needs a larger slab
-    examined = jnp.clip(hi - lower, 0, C)
-    # a capped seed is skipped no matter how long the run really is, so a
-    # partial count > b is already exact and needs no larger slab
-    overflow = (refined_cnt == examined) & ((hi - lower) > C) & ~capped
+        refined_cnt = jnp.sum(refined, axis=-1, dtype=jnp.int32)  # (B, S)
+        # seed skipped entirely (mapping.cpp:275-277)
+        capped = refined_cnt > b
+        # run may extend past the slab: every examined slot matched and
+        # bucket entries remain beyond it -> this read needs a larger slab
+        examined = jnp.clip(hi - lower, 0, C)
+        # a capped seed is skipped no matter how long the run really is, so
+        # a partial count > b is already exact and needs no larger slab
+        overflow = (refined_cnt == examined) & ((hi - lower) > C) & ~capped
 
     if stage_out == "membership":
         return jnp.sum(refined_cnt) + jnp.sum(overflow)
@@ -444,7 +525,8 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     jax.jit,
     static_argnames=(
         "pattern_name", "ag_wildcard", "search_bits", "verify_slab",
-        "cand_slab", "seeds", "wl_factor", "exact_b", "stage_out",
+        "cand_slab", "seeds", "wl_factor", "exact_b", "uniq_bits",
+        "full_mask", "stage_out",
     ),
 )
 def map_strand_stage(preads, lens, b, max_mm, pseq, counter, index, key_words,
@@ -452,14 +534,18 @@ def map_strand_stage(preads, lens, b, max_mm, pseq, counter, index, key_words,
                      ag_wildcard: bool, search_bits: int, stage_out: str,
                      verify_slab: int = VERIFY_SLAB_T1,
                      cand_slab: int = CAND_SLAB, seeds: tuple | None = None,
-                     wl_factor: int = WL_FACTOR, exact_b: bool = False):
+                     wl_factor: int = WL_FACTOR, exact_b: bool = False,
+                     uniq_words=None, uniq_off=None, uniq_counter=None,
+                     uniq_bits: int = 0, full_mask: bool = False):
     """Stage-truncated pipeline for device profiling (tools/device_profile)."""
     return map_strand_core(
         preads, lens, b, max_mm, pseq, counter, index, key_words,
         start_index, bucket_flagged, pattern_name=pattern_name,
         ag_wildcard=ag_wildcard, search_bits=search_bits,
         verify_slab=verify_slab, cand_slab=cand_slab, seeds=seeds,
-        wl_factor=wl_factor, exact_b=exact_b, stage_out=stage_out,
+        wl_factor=wl_factor, exact_b=exact_b, uniq_words=uniq_words,
+        uniq_off=uniq_off, uniq_counter=uniq_counter, uniq_bits=uniq_bits,
+        full_mask=full_mask, stage_out=stage_out,
     )
 
 
@@ -467,7 +553,8 @@ def map_strand_stage(preads, lens, b, max_mm, pseq, counter, index, key_words,
     jax.jit,
     static_argnames=(
         "pattern_name", "ag_wildcard", "search_bits", "verify_slab",
-        "cand_slab", "seeds", "wl_factor", "exact_b",
+        "cand_slab", "seeds", "wl_factor", "exact_b", "uniq_bits",
+        "full_mask",
     ),
 )
 def map_strand_device(preads, lens, b, max_mm, pseq, counter, index, key_words,
@@ -475,12 +562,16 @@ def map_strand_device(preads, lens, b, max_mm, pseq, counter, index, key_words,
                       ag_wildcard: bool, search_bits: int,
                       verify_slab: int = VERIFY_SLAB,
                       cand_slab: int = CAND_SLAB, seeds: tuple | None = None,
-                      wl_factor: int = WL_FACTOR, exact_b: bool = False):
+                      wl_factor: int = WL_FACTOR, exact_b: bool = False,
+                      uniq_words=None, uniq_off=None, uniq_counter=None,
+                      uniq_bits: int = 0, full_mask: bool = False):
     """Single-chip jitted entry over the full (unsharded) table."""
     return map_strand_core(
         preads, lens, b, max_mm, pseq, counter, index, key_words,
         start_index, bucket_flagged, pattern_name=pattern_name,
         ag_wildcard=ag_wildcard, search_bits=search_bits,
         verify_slab=verify_slab, cand_slab=cand_slab, seeds=seeds,
-        wl_factor=wl_factor, exact_b=exact_b,
+        wl_factor=wl_factor, exact_b=exact_b, uniq_words=uniq_words,
+        uniq_off=uniq_off, uniq_counter=uniq_counter, uniq_bits=uniq_bits,
+        full_mask=full_mask,
     )

@@ -89,7 +89,8 @@ def se_fold(slabs, max_mm, pattern):
     jax.jit,
     static_argnames=(
         "pattern_name", "ag_wildcard", "search_bits", "verify_slab",
-        "cand_slab", "seeds", "wl_factor", "exact_b",
+        "cand_slab", "seeds", "wl_factor", "exact_b", "uniq_bits",
+        "full_mask",
     ),
 )
 def map_single_end_device(preads, lens, b, max_mm, tables, *,
@@ -99,7 +100,9 @@ def map_single_end_device(preads, lens, b, max_mm, tables, *,
                           cand_slab: int = pipeline.CAND_SLAB,
                           seeds: tuple | None = None,
                           wl_factor: int = pipeline.WL_FACTOR,
-                          exact_b: bool = False):
+                          exact_b: bool = False,
+                          uniq_bits: tuple = (0, 0),
+                          full_mask: bool = False):
     """Full SE mapping step: both strand tables -> per-read BestMatch.
 
     ``tables``: tuple of two dicts (keys: pseq, counter, index, key_words,
@@ -112,13 +115,16 @@ def map_single_end_device(preads, lens, b, max_mm, tables, *,
     pattern = get_pattern(pattern_name)
     slabs = []
     fallback = None
-    for t, bits in zip(tables, search_bits):
+    for t, bits, ubits in zip(tables, search_bits, uniq_bits):
         cs, cp, cm, _, fb = pipeline.map_strand_core(
             preads, lens, b, max_mm, t["pseq"], t["counter"], t["index"],
             t["key_words"], t["start_index"], t["bucket_flagged"],
             pattern_name=pattern_name, ag_wildcard=ag_wildcard,
             search_bits=bits, verify_slab=verify_slab, cand_slab=cand_slab,
             seeds=seeds, wl_factor=wl_factor, exact_b=exact_b,
+            uniq_words=t.get("uniq_words"), uniq_off=t.get("uniq_off"),
+            uniq_counter=t.get("uniq_counter"), uniq_bits=ubits,
+            full_mask=full_mask,
         )
         slabs.append((cs, cp, cm))
         fallback = fb if fallback is None else (fallback | fb)

@@ -39,6 +39,12 @@ class ShardedTables:
     pseq: np.ndarray  # uint32, replicated packed converted genome words
     start_index: np.ndarray  # uint32, replicated
     max_bucket_bits: int
+    # word-0 run dedup (ops/device_index.build_uniq_host), localized per
+    # shard: counter over runs, run key words, run start entry offsets
+    uniq_counter: np.ndarray  # uint32 (T, nb/T + 1)
+    uniq_words: np.ndarray  # uint32 (T, max_ulen)
+    uniq_off: np.ndarray  # uint32 (T, max_ulen + 1)
+    uniq_bits: int
 
 
 def shard_device_table(dt: DeviceTable, n_shards: int) -> ShardedTables:
@@ -59,12 +65,29 @@ def shard_device_table(dt: DeviceTable, n_shards: int) -> ShardedTables:
     index = np.zeros((n_shards, max_len), dtype=np.uint32)
     key_words = np.zeros((n_shards, max_len, 3), dtype=np.uint32)
     flagged = np.zeros((n_shards, nbl), dtype=bool)
+
+    from walt_tpu.ops.device_index import build_uniq_host
+
+    g_uw, g_uo, g_uc, uniq_bits = build_uniq_host(
+        dt.key_words[:, 0], dt.counter
+    )
+    u_bounds = g_uc[::nbl][: n_shards + 1].astype(np.int64)
+    max_ulen = max(1, int(np.diff(u_bounds).max()))
+    uniq_counter = np.zeros((n_shards, nbl + 1), dtype=np.uint32)
+    uniq_words = np.zeros((n_shards, max_ulen), dtype=np.uint32)
+    uniq_off = np.zeros((n_shards, max_ulen + 1), dtype=np.uint32)
     for s in range(n_shards):
         a, b = int(bounds[s]), int(bounds[s + 1])
         counter[s] = dt.counter[s * nbl : (s + 1) * nbl + 1] - dt.counter[s * nbl]
         index[s, : b - a] = dt.index[a:b]
         key_words[s, : b - a] = dt.key_words[a:b]
         flagged[s] = dt.bucket_flagged[s * nbl : (s + 1) * nbl]
+        au, bu = int(u_bounds[s]), int(u_bounds[s + 1])
+        uniq_counter[s] = g_uc[s * nbl : (s + 1) * nbl + 1] - np.uint32(au)
+        uniq_words[s, : bu - au] = g_uw[au:bu]
+        # run starts rebased to the shard's first entry; g_uo[bu] is the
+        # next shard's first entry == this shard's entry count
+        uniq_off[s, : bu - au + 1] = g_uo[au : bu + 1] - np.uint32(a)
     return ShardedTables(
         key_base=(np.arange(n_shards, dtype=np.uint32) * np.uint32(nbl)),
         counter=counter,
@@ -74,6 +97,10 @@ def shard_device_table(dt: DeviceTable, n_shards: int) -> ShardedTables:
         pseq=dt.pseq,
         start_index=dt.start_index,
         max_bucket_bits=dt.max_bucket_bits,
+        uniq_counter=uniq_counter,
+        uniq_words=uniq_words,
+        uniq_off=uniq_off,
+        uniq_bits=uniq_bits,
     )
 
 
@@ -124,7 +151,7 @@ def _merge_tp(cs, cp, cm, fb, cand_slab: int):
     jax.jit,
     static_argnames=("mesh", "pattern_name", "ag_wildcard", "search_bits",
                      "verify_slab", "cand_slab", "seeds", "wl_factor",
-                     "exact_b"),
+                     "exact_b", "uniq_bits", "full_mask"),
 )
 def map_strand_sharded(preads, lens, b, max_mm, key_base, counter, index,
                        key_words, bucket_flagged, pseq, start_index, *,
@@ -134,16 +161,20 @@ def map_strand_sharded(preads, lens, b, max_mm, key_base, counter, index,
                        cand_slab: int = pipeline.CAND_SLAB,
                        seeds: tuple | None = None,
                        wl_factor: int = pipeline.WL_FACTOR,
-                       exact_b: bool = False):
+                       exact_b: bool = False,
+                       uniq_counter=None, uniq_words=None, uniq_off=None,
+                       uniq_bits: int = 0, full_mask: bool = False):
     """Sharded equivalent of ``map_strand_device``.
 
     preads: (B, W) uint32 packed reads; B must divide by the ``dp`` size.
     Table args come from a ShardedTables whose T equals the ``tp`` size.
     Returns the same (cand_seed, cand_pos, cand_mm, cand_cnt, fallback).
     """
+    have_uniq = uniq_words is not None
 
     def body(preads, lens, b, max_mm, key_base, counter, index, key_words,
-             bucket_flagged, pseq, start_index):
+             bucket_flagged, pseq, start_index, uniq_counter, uniq_words,
+             uniq_off):
         cs, cp, cm, cc, fb = pipeline.map_strand_core(
             preads, lens, b, max_mm, pseq, counter[0], index[0], key_words[0],
             start_index, bucket_flagged[0], pattern_name=pattern_name,
@@ -151,9 +182,14 @@ def map_strand_sharded(preads, lens, b, max_mm, key_base, counter, index,
             verify_slab=verify_slab, cand_slab=cand_slab,
             key_base=key_base[0], seeds=seeds, wl_factor=wl_factor,
             exact_b=exact_b,
+            uniq_counter=uniq_counter[0] if have_uniq else None,
+            uniq_words=uniq_words[0] if have_uniq else None,
+            uniq_off=uniq_off[0] if have_uniq else None,
+            uniq_bits=uniq_bits, full_mask=full_mask,
         )
         return _merge_tp(cs, cp, cm, fb, cand_slab)
 
+    uspec = P("tp") if have_uniq else P()
     return jax.shard_map(
         body,
         mesh=mesh,
@@ -161,18 +197,29 @@ def map_strand_sharded(preads, lens, b, max_mm, key_base, counter, index,
             P("dp"), P("dp"), P(), P(),  # reads, lens, b, max_mm
             P("tp"), P("tp"), P("tp"), P("tp"), P("tp"),  # table shards
             P(), P(),  # seq, start_index replicated
+            uspec, uspec, uspec,
         ),
         out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
         check_vma=False,
     )(preads, lens, b, max_mm, key_base, counter, index, key_words,
-      bucket_flagged, pseq, start_index)
+      bucket_flagged, pseq, start_index, uniq_counter, uniq_words, uniq_off)
 
 
 #: pytree spec of one sharded table dict, as passed to the fused SE step
 _TABLE_SPEC = dict(
     key_base=P("tp"), counter=P("tp"), index=P("tp"), key_words=P("tp"),
     bucket_flagged=P("tp"), pseq=P(), start_index=P(),
+    uniq_counter=P("tp"), uniq_words=P("tp"), uniq_off=P("tp"),
 )
+
+
+def _uniq_kw(t: dict) -> dict:
+    """Per-shard uniq arrays of one sharded table dict (or Nones)."""
+    out = {}
+    for k in ("uniq_words", "uniq_off", "uniq_counter"):
+        v = t.get(k)
+        out[k] = v[0] if v is not None else None
+    return out
 
 
 def place_sharded_table(st: ShardedTables, mesh: Mesh) -> dict:
@@ -196,7 +243,7 @@ def place_sharded_table(st: ShardedTables, mesh: Mesh) -> dict:
     jax.jit,
     static_argnames=("mesh", "pattern_name", "ag_wildcard", "search_bits",
                      "verify_slab", "cand_slab", "seeds", "wl_factor",
-                     "exact_b"),
+                     "exact_b", "uniq_bits", "full_mask"),
 )
 def map_single_end_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
                            pattern_name: str, ag_wildcard: bool,
@@ -205,7 +252,9 @@ def map_single_end_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
                            cand_slab: int = pipeline.CAND_SLAB,
                            seeds: tuple | None = None,
                            wl_factor: int = pipeline.WL_FACTOR,
-                           exact_b: bool = False):
+                           exact_b: bool = False,
+                           uniq_bits: tuple = (0, 0),
+                           full_mask: bool = False):
     """Sharded equivalent of ``se_fold.map_single_end_device``.
 
     One XLA program over the ('dp','tp') mesh: each of the two strand
@@ -227,7 +276,7 @@ def map_single_end_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
     def body(preads, lens, b, max_mm, tables):
         slabs = []
         fallback = None
-        for t, bits in zip(tables, search_bits):
+        for t, bits, ubits in zip(tables, search_bits, uniq_bits):
             cs, cp, cm, cc, fb = pipeline.map_strand_core(
                 preads, lens, b, max_mm, t["pseq"], t["counter"][0],
                 t["index"][0], t["key_words"][0], t["start_index"],
@@ -235,7 +284,8 @@ def map_single_end_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
                 ag_wildcard=ag_wildcard, search_bits=bits,
                 verify_slab=verify_slab, cand_slab=cand_slab,
                 key_base=t["key_base"][0], seeds=seeds, wl_factor=wl_factor,
-                exact_b=exact_b,
+                exact_b=exact_b, uniq_bits=ubits, full_mask=full_mask,
+                **_uniq_kw(t),
             )
             m_seed, m_pos, m_mm, _, fb_any = _merge_tp(cs, cp, cm, fb,
                                                        cand_slab)
@@ -249,10 +299,11 @@ def map_single_end_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
         )
         return jnp.stack([pos, times.astype(jnp.uint32), flags], axis=1)
 
+    spec = {k: _TABLE_SPEC[k] for k in tables[0]}
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P("dp"), P("dp"), P(), P(), (_TABLE_SPEC, _TABLE_SPEC)),
+        in_specs=(P("dp"), P("dp"), P(), P(), (spec, spec)),
         out_specs=P("dp"),
         check_vma=False,
     )(preads, lens, b, max_mm, tables)
@@ -262,7 +313,7 @@ def map_single_end_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
     jax.jit,
     static_argnames=("mesh", "pattern_name", "ag_wildcard", "search_bits",
                      "verify_slab", "cand_slab", "wl_factor", "exact_b",
-                     "flat_factor"),
+                     "flat_factor", "uniq_bits", "full_mask"),
 )
 def map_mate_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
                      pattern_name: str, ag_wildcard: bool,
@@ -270,7 +321,8 @@ def map_mate_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
                      verify_slab: int = pipeline.VERIFY_SLAB_T1,
                      cand_slab: int = pipeline.CAND_SLAB,
                      wl_factor: int = pipeline.WL_FACTOR,
-                     exact_b: bool = False, flat_factor: int = 8):
+                     exact_b: bool = False, flat_factor: int = 8,
+                     uniq_bits: tuple = (0, 0), full_mask: bool = False):
     """Sharded equivalent of ``pe_map.map_mate_device``.
 
     The flat compaction is dp-LOCAL: the returned flat array is dp segments
@@ -282,7 +334,7 @@ def map_mate_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
     def body(preads, lens, b, max_mm, tables):
         slabs = []
         fallback = None
-        for t, bits in zip(tables, search_bits):
+        for t, bits, ubits in zip(tables, search_bits, uniq_bits):
             cs, cp, cm, cc, fb = pipeline.map_strand_core(
                 preads, lens, b, max_mm, t["pseq"], t["counter"][0],
                 t["index"][0], t["key_words"][0], t["start_index"],
@@ -290,7 +342,8 @@ def map_mate_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
                 ag_wildcard=ag_wildcard, search_bits=bits,
                 verify_slab=verify_slab, cand_slab=cand_slab,
                 key_base=t["key_base"][0], wl_factor=wl_factor,
-                exact_b=exact_b,
+                exact_b=exact_b, uniq_bits=ubits, full_mask=full_mask,
+                **_uniq_kw(t),
             )
             m_seed, m_pos, m_mm, _, fb_any = _merge_tp(cs, cp, cm, fb,
                                                        cand_slab)
@@ -298,10 +351,11 @@ def map_mate_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
             fallback = fb_any if fallback is None else (fallback | fb_any)
         return pe_map.flat_compact(slabs, fallback, flat_factor)
 
+    spec = {k: _TABLE_SPEC[k] for k in tables[0]}
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P("dp"), P("dp"), P(), P(), (_TABLE_SPEC, _TABLE_SPEC)),
+        in_specs=(P("dp"), P("dp"), P(), P(), (spec, spec)),
         out_specs=(P("dp"), P("dp")),
         check_vma=False,
     )(preads, lens, b, max_mm, tables)
