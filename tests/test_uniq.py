@@ -18,7 +18,7 @@ import pytest
 from walt_tpu.constants import get_pattern
 from walt_tpu.index import io_walt
 
-from .conftest import simulate_reads, write_fastq
+from tests.conftest import simulate_reads, write_fastq
 
 
 @pytest.fixture(scope="module")
