@@ -58,11 +58,15 @@ def main() -> int:
               for s in ("_CT00", "_CT01")]
 
     backend = JaxBackend()
-    devs, bits = [], []
+    devs, bits, ubits = [], [], []
     for g, ht in tables:
         dt, dev = backend._device_table(g, ht, pattern, 1)
         devs.append(dev)
         bits.append(dt.max_bucket_bits)
+        ubits.append(dt.uniq_bits)
+    if os.environ.get("WALTX_PROF_NOUNIQ"):
+        # legacy entry-space search path, for A/B against the uniq run path
+        ubits = [0 for _ in ubits]
 
     batch = load_batch(FgetsLines(fastq), chunk, b"")
     codes, lens = batch.packed()
@@ -76,12 +80,17 @@ def main() -> int:
     mm = jnp.int32(6)
 
     # production tier-1 settings (jax_backend.map_single_end phase A/B)
+    fm = JaxBackend._full_mask(lens[:chunk], pattern)
     kw = dict(pattern_name="3", ag_wildcard=False,
               verify_slab=pipeline.VERIFY_SLAB_T1, wl_factor=2,
-              exact_b=False)
+              exact_b=False, full_mask=fm)
     t0dev = devs[0]
     args0 = (pc, pl, b, mm, t0dev["pseq"], t0dev["counter"], t0dev["index"],
              t0dev["key_words"], t0dev["start_index"], t0dev["bucket_flagged"])
+    ukw0 = dict(
+        uniq_words=t0dev["uniq_words"], uniq_off=t0dev["uniq_off"],
+        uniq_counter=t0dev["uniq_counter"], uniq_bits=ubits[0],
+    ) if ubits[0] else {}
 
     results = {}
     # dispatch + D2H fetch round trip of a trivial program
@@ -93,25 +102,29 @@ def main() -> int:
     for st in stages:
         results[st] = _time(lambda st=st: np.asarray(
             pipeline.map_strand_stage(
-                *args0, search_bits=bits[0], stage_out=st, **kw)))
+                *args0, search_bits=bits[0], stage_out=st, **ukw0, **kw)))
     # one full strand (compaction included)
     if stages:
         results["strand"] = _time(lambda: jax.block_until_ready(
-            pipeline.map_strand_device(*args0, search_bits=bits[0], **kw)))
+            pipeline.map_strand_device(
+                *args0, search_bits=bits[0], **ukw0, **kw)))
     # the full fused SE program (both strands + device fold), phase-B shape
     results["full_se"] = _time(lambda: np.asarray(
         se_fold.map_single_end_device(
-            pc, pl, b, mm, tuple(devs), search_bits=tuple(bits), **kw)))
+            pc, pl, b, mm, tuple(devs), search_bits=tuple(bits),
+            uniq_bits=tuple(ubits), **kw)))
     # phase A (seed 0 only), the first-pass shape
     results["full_se_seed0"] = _time(lambda: np.asarray(
         se_fold.map_single_end_device(
             pc, pl, b, mm, tuple(devs), search_bits=tuple(bits),
-            seeds=(0,), **kw)))
+            uniq_bits=tuple(ubits), seeds=(0,), **kw)))
 
     out = {
         "chunk": chunk,
         "W": W,
         "search_bits": bits,
+        "uniq_bits": ubits,
+        "full_mask": fm,
         "device": str(jax.devices()[0].device_kind),
         "seconds": {k: round(v, 5) for k, v in results.items()},
     }
