@@ -139,8 +139,8 @@ def _bench_config(name, cache, n_bases, n_reads, read_len, repetitive,
     dt, stat = min((runner() for _ in range(repeats)), key=lambda r: r[0])
 
     table_bytes = sum(
-        sum(int(np.size(v)) * v.dtype.itemsize for v in dev.values())
-        for _, dev in backend._tables.values()
+        sum(int(np.size(v)) * v.dtype.itemsize for v in entry[1].values())
+        for entry in backend._tables.values()
     )
     detail = {
         "config": name,
@@ -167,7 +167,7 @@ def _bench_config(name, cache, n_bases, n_reads, read_len, repetitive,
         ),
     }
     # free device tables before the next config (HBM budget)
-    backend._tables.clear()
+    backend.free_tables()
     gc.collect()
     return detail
 

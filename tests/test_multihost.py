@@ -123,7 +123,7 @@ def test_multihost_requires_one_output_per_input(tmp_path, my_index, se_fastq):
                   "--multihost"])
 
 
-def test_multihost_two_processes(tmp_path, work, my_index):
+def test_multihost_two_processes_filesplit(tmp_path, work, my_index):
     """Two real jax.distributed processes split two files; outputs match
     single-host runs byte for byte."""
     import subprocess

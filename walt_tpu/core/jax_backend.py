@@ -108,6 +108,10 @@ class JaxBackend:
         1 suffices for every run whose -b is at least the largest verify
         slab (the exact_b path is then never taken); callers with a smaller
         -b ask for 3 and an existing 1-word table is rebuilt."""
+        # The cache entry holds strong references to (genome, table): the
+        # id()-based key is only unambiguous while those objects are alive
+        # (CPython reuses addresses after GC, so a dropped-and-reloaded
+        # genome could otherwise silently hit a stale entry).
         key = (id(genome), id(table), pattern.name)
         got = self._tables.get(key)
         if got is not None and got[1]["key_words"].shape[-1] < n_key_words:
@@ -155,8 +159,12 @@ class JaxBackend:
                     )
                 else:
                     dev["key_words"] = jnp.zeros((1, 1), dtype=jnp.uint32)
-            self._tables[key] = (dt, dev)
-        return self._tables[key]
+            self._tables[key] = (dt, dev, genome, table)
+        return self._tables[key][:2]
+
+    def free_tables(self):
+        """Drop every cached device table (and its HBM) explicitly."""
+        self._tables.clear()
 
     @staticmethod
     def _full_mask(lens_: np.ndarray, pattern: SeedPattern) -> bool:

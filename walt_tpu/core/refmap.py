@@ -37,14 +37,19 @@ def padded_seq(genome: Genome, pattern: SeedPattern) -> np.ndarray:
     """Genome codes padded so seed comparisons never index out of range.
 
     Cached per (genome, pad): the copy is ~1 GB at hg19 scale and the host
-    fallback path calls this once per read otherwise.
+    fallback path calls this once per read otherwise.  The cache holds the
+    genome by WEAK reference with an eviction callback, so (a) a dead
+    genome's id cannot alias a stale entry and (b) dropping the genome
+    (e.g. between bench configs) frees the padded copy too.
     """
+    import weakref
+
     pad = int(pattern.cared[-1]) + 2
     key = (id(genome), pad)
     got = _padded_cache.get(key)
     if got is None:
-        # the genome object is kept in the value so its id cannot be reused
-        got = (genome, np.concatenate(
+        ref = weakref.ref(genome, lambda _r: _padded_cache.pop(key, None))
+        got = (ref, np.concatenate(
             [genome.seq, np.full(pad, LOOKUP_PAD, dtype=np.uint8)]
         ))
         _padded_cache[key] = got
