@@ -20,9 +20,12 @@ Baselines (BASELINE.md): the reference maps 50M x ~100bp reads (hg19) SE in
 0.71 h = ~19.6k reads/s, PE in 2.43 h = ~5.7k pairs/s, on one 2.4 GHz Xeon
 thread.  vs_baseline is measured/against-those.
 
-Prints exactly ONE JSON line (the headline config) on stdout; all configs
-and their detail (fallback %, host RSS, device table bytes) go to
-BENCH_DETAIL.json next to this file and to stderr.
+Robustness (round-2 verdict next #1): every phase prints a timestamped
+progress line to stderr, each config runs under a try/except that records
+the failure and moves on, and a soft wall-clock budget
+(WALTX_BENCH_BUDGET_S, default 5100 s) skips remaining configs when
+exceeded.  The single stdout JSON line reports the highest-priority config
+that succeeded.
 """
 
 from __future__ import annotations
@@ -32,6 +35,9 @@ import json
 import os
 import sys
 import time
+import traceback
+
+os.environ.setdefault("WALTX_PROGRESS", "1")
 
 BASE_SE = 50_000_000 / (0.71 * 3600)  # Table S6, SRR1532534 SE
 BASE_PE = 50_000_000 / (2.43 * 3600)  # Table S7, SRR1532534 PE
@@ -39,6 +45,14 @@ BASE_PE = 50_000_000 / (2.43 * 3600)  # Table S7, SRR1532534 PE
 CACHE = "/tmp/waltx_bench"
 CACHE_LARGE = "/tmp/waltx_bench_large"
 CACHE_PE = "/tmp/waltx_bench_pe"
+
+T_START = time.monotonic()
+BUDGET_S = float(os.environ.get("WALTX_BENCH_BUDGET_S", "5100"))
+
+
+def _note(msg: str):
+    print(f"[bench +{time.monotonic() - T_START:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def _prepare(cache: str, n_bases: int, n_reads: int, read_len: int,
@@ -59,6 +73,8 @@ def _prepare(cache: str, n_bases: int, n_reads: int, read_len: int,
             sample_reads, write_genome_fasta,
         )
 
+        _note(f"prepare: generating {n_bases / 1e6:.0f} Mbp genome + "
+              f"{n_reads} reads")
         t0 = time.time()
         mk = make_genome_repetitive if repetitive else make_genome
         genome = mk(n_bases, n_chroms=2, seed=42)
@@ -75,12 +91,14 @@ def _prepare(cache: str, n_bases: int, n_reads: int, read_len: int,
         gen_s = time.time() - t0
         # index build proper: FASTA load -> 4 tables -> 5-file walt index
         # (what the reference's makedb wall time covers)
+        _note(f"prepare: index build ({gen_s:.0f}s datagen)")
         t0 = time.time()
         g, tables = build_all_tables([fasta], verbose=False)
         write_index(index, g, tables)
         build_s = time.time() - t0
         del g, tables
         gc.collect()
+        _note(f"prepare: index built in {build_s:.0f}s")
         with open(stamp, "w") as f:
             json.dump({"index_build_s": round(build_s, 1),
                        "datagen_s": round(gen_s, 1)}, f)
@@ -118,6 +136,14 @@ def _run_pe(index, fq1, fq2, out, batch, backend):
     return time.perf_counter() - t0, stat
 
 
+def _free_host_caches():
+    """Drop host-side table caches between configs (multi-GB residents)."""
+    from walt_tpu.index import io_walt
+
+    io_walt._table_cache.clear()
+    gc.collect()
+
+
 def _bench_config(name, cache, n_bases, n_reads, read_len, repetitive,
                   paired, batch, repeats=3, version="v2"):
     """One config: prepare, warm up (compiles + table upload), best-of-N."""
@@ -133,10 +159,19 @@ def _bench_config(name, cache, n_bases, n_reads, read_len, repetitive,
         (lambda: _run_pe(index, fq1, fq2, out, batch, backend)) if paired
         else (lambda: _run_se(index, fq1, out, batch, backend))
     )
-    runner()  # warmup: compiles, device tables, heuristics
+    _note(f"{name}: warmup (table upload + uniq build + compiles)")
+    wt, _ = runner()  # warmup: compiles, device tables, heuristics
+    _note(f"{name}: warmup run {wt:.1f}s; timing {repeats} repeats")
     # best of N: this host class freezes the VM for O(seconds) at random,
     # so a single wall-clock sample understates steady-state throughput
-    dt, stat = min((runner() for _ in range(repeats)), key=lambda r: r[0])
+    best = None
+    for i in range(repeats):
+        r = runner()
+        _note(f"{name}: run {i + 1}/{repeats}: {r[0]:.2f}s "
+              f"({n_reads / r[0] / 1e3:.1f}k/s)")
+        if best is None or r[0] < best[0]:
+            best = r
+    dt, stat = best
 
     table_bytes = sum(
         sum(int(np.size(v)) * v.dtype.itemsize for v in entry[1].values())
@@ -166,9 +201,9 @@ def _bench_config(name, cache, n_bases, n_reads, read_len, repetitive,
             if hasattr(stat, "unique_pairs") else {}
         ),
     }
-    # free device tables before the next config (HBM budget)
+    # free device tables + host caches before the next config (HBM budget)
     backend.free_tables()
-    gc.collect()
+    _free_host_caches()
     return detail
 
 
@@ -181,6 +216,7 @@ def main() -> int:
     prefault()
     only = os.environ.get("WALTX_BENCH_ONLY", "")
     details = []
+    failures = []
 
     configs = [
         dict(name="se_large_512M", cache=CACHE_LARGE, n_bases=512_000_000,
@@ -196,22 +232,52 @@ def main() -> int:
     for cfg in configs:
         if only and only != cfg["name"]:
             continue
-        d = _bench_config(**cfg)
-        details.append(d)
-        print(json.dumps(d), file=sys.stderr)
+        elapsed = time.monotonic() - T_START
+        if details and elapsed > BUDGET_S:
+            _note(f"budget exceeded ({elapsed:.0f}s > {BUDGET_S:.0f}s); "
+                  f"skipping {cfg['name']}")
+            failures.append({"config": cfg["name"], "error": "skipped: budget"})
+            continue
+        _note(f"=== config {cfg['name']} ===")
+        try:
+            d = _bench_config(**cfg)
+            details.append(d)
+            print(json.dumps(d), file=sys.stderr, flush=True)
+        except Exception as e:
+            _note(f"{cfg['name']} FAILED: {e!r}")
+            traceback.print_exc()
+            failures.append({"config": cfg["name"], "error": repr(e)[:500]})
+            _free_host_caches()
 
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
-    if only and os.path.exists(detail_path):
-        # partial (WALTX_BENCH_ONLY) runs update their config in place
-        # instead of clobbering the other configs' numbers
-        old = {d["config"]: d for d in json.load(open(detail_path))}
+    if (only or failures) and os.path.exists(detail_path):
+        # partial runs (WALTX_BENCH_ONLY / failures) update their configs in
+        # place instead of clobbering the other configs' numbers
+        try:
+            old = {d["config"]: d for d in json.load(open(detail_path))
+                   if "config" in d}
+        except Exception:
+            old = {}
         old.update({d["config"]: d for d in details})
         order = [c["name"] for c in configs]
-        details = sorted(old.values(), key=lambda d: order.index(d["config"]))
+        merged = sorted(
+            (d for d in old.values() if d["config"] in order),
+            key=lambda d: order.index(d["config"]),
+        )
+    else:
+        merged = details
     with open(detail_path, "w") as f:
-        json.dump(details, f, indent=1)
+        json.dump(merged + [{"failures": failures}] if failures else merged,
+                  f, indent=1)
 
+    if not details:
+        _note("no config succeeded")
+        print(json.dumps({
+            "metric": "bench_failed", "value": 0, "unit": "reads/s",
+            "vs_baseline": 0, "error": (failures or [{}])[0].get("error", ""),
+        }))
+        return 1
     head = details[0]
     print(json.dumps({
         "metric": f"{head['config']}_{head['unit'].replace('/', '_per_')}_1chip",

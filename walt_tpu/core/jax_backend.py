@@ -47,6 +47,9 @@ def _enable_compile_cache():
         pass
 
 
+from walt_tpu.core.errors import HbmBudgetError  # noqa: E402  (re-export)
+
+
 class JaxBackend:
     name = "jax"
 
@@ -129,42 +132,145 @@ class JaxBackend:
                 dt.uniq_bits = st.uniq_bits
                 dt.key_words = None  # free the host copy (3x index bytes)
             else:
-                from walt_tpu.ops.device_index import (
-                    build_key_words_device, build_uniq_device,
+                dt, dev = self._build_single_device_table(
+                    genome, table, pattern, n_key_words
                 )
-
-                dt = build_device_table(genome, table, pattern)
-                dev = dict(
-                    pseq=jnp.asarray(dt.pseq),
-                    counter=jnp.asarray(dt.counter),
-                    index=jnp.asarray(dt.index),
-                    start_index=jnp.asarray(dt.start_index),
-                    bucket_flagged=jnp.asarray(dt.bucket_flagged),
-                )
-                # word-0 run dedup, computed from the resident arrays: the
-                # fast path searches runs (uniq_bits <= max_bucket_bits
-                # probes) and needs no per-slot membership gathers at all
-                (dev["uniq_words"], dev["uniq_off"], dev["uniq_counter"],
-                 dt.uniq_bits) = build_uniq_device(
-                    dev["pseq"], dev["index"], dev["counter"], pattern
-                )
-                if n_key_words >= 3:
-                    # packed lookup keys from the uploaded genome: saves the
-                    # 48-gather host pass and a 12-bytes/entry transfer.
-                    # Only the exact_b path (b below the verify slabs) reads
-                    # them; fast-only runs get a dummy and save 4 B/entry.
-                    dev["key_words"] = build_key_words_device(
-                        dev["pseq"], dt.index, pattern,
-                        n_key_words=n_key_words,
-                    )
-                else:
-                    dev["key_words"] = jnp.zeros((1, 1), dtype=jnp.uint32)
             self._tables[key] = (dt, dev, genome, table)
         return self._tables[key][:2]
 
     def free_tables(self):
         """Drop every cached device table (and its HBM) explicitly."""
         self._tables.clear()
+
+    # ---- HBM budgeting -------------------------------------------------
+    #: bytes reserved for the mapping working set (read chunks, worklists,
+    #: gather windows, XLA scratch) on top of the resident tables
+    HBM_RESERVE = 2 << 30
+
+    def _hbm_budget(self) -> int | None:
+        """Device memory budget in bytes, or None when unconstrained.
+
+        ``memory_stats()`` is unavailable on tunnel-attached devices (returns
+        None), so the budget is a static model: ``WALTX_HBM_GB`` env override,
+        else 16 GB for TPUs (v5e/v5 lite class), else no limit (CPU meshes).
+        """
+        import os
+
+        import jax
+
+        env = os.environ.get("WALTX_HBM_GB")
+        if env:
+            return int(float(env) * (1 << 30))
+        dev = jax.devices()[0]
+        stats = None
+        try:
+            stats = dev.memory_stats()
+        except Exception:
+            pass
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+        return 16 << 30 if dev.platform == "tpu" else None
+
+    def _resident_bytes(self) -> int:
+        """Bytes of device HBM held by the cached tables."""
+        total = 0
+        for entry in self._tables.values():
+            for v in entry[1].values():
+                total += int(np.prod(v.shape)) * v.dtype.itemsize
+        return total
+
+    def _build_single_device_table(self, genome: Genome, table: HashTable,
+                                   pattern: SeedPattern, n_key_words: int):
+        """Upload one table within the HBM budget, degrading gracefully.
+
+        Ladder (round-2 verdict next #1/#3): full table + uniq run index ->
+        full table + word-0 key words (no uniq; the entry-space search and
+        slab admission still run fully on device) -> HbmBudgetError (the
+        driver maps on the exact host path instead of crashing).
+        """
+        from walt_tpu import perf
+        from walt_tpu.ops.device_index import (
+            build_key_words_device, build_uniq_device,
+        )
+
+        budget = self._hbm_budget()
+        with perf.stage("table_host_prep"):
+            perf.note(f"table {genome.strand}: host prep "
+                      f"({table.index.nbytes / 2**30:.2f} GB index)")
+            dt = build_device_table(genome, table, pattern)
+        base = (dt.pseq.nbytes + dt.counter.nbytes + dt.index.nbytes
+                + dt.start_index.nbytes + dt.bucket_flagged.nbytes)
+        free = (None if budget is None
+                else budget - self.HBM_RESERVE - self._resident_bytes())
+        if free is not None and base > free:
+            raise HbmBudgetError(
+                f"table needs {base / 2**30:.2f} GB but only "
+                f"{max(free, 0) / 2**30:.2f} GB of the "
+                f"{budget / 2**30:.0f} GB HBM budget is free "
+                f"(set WALTX_HBM_GB to override)"
+            )
+        with perf.stage("table_upload"):
+            perf.note(f"table {genome.strand}: uploading "
+                      f"{base / 2**30:.2f} GB to device")
+            dev = dict(
+                pseq=jnp.asarray(dt.pseq),
+                counter=jnp.asarray(dt.counter),
+                index=jnp.asarray(dt.index),
+                start_index=jnp.asarray(dt.start_index),
+                bucket_flagged=jnp.asarray(dt.bucket_flagged),
+            )
+            # sync so the note/stage brackets the actual transfer
+            np.asarray(dev["index"][:1])
+        n = int(dt.index.shape[0])
+        # word-0 run dedup, computed from the resident arrays: the fast
+        # path searches runs (uniq_bits <= max_bucket_bits probes) and
+        # needs no per-slot membership gathers at all.  Its exact size is
+        # known only after the count pass, so give it the remaining budget
+        # and fall back to plain word-0 key words when it does not fit.
+        uniq_max = None if free is None else free - base - dt.counter.nbytes
+        uniq = None
+        try:
+            with perf.stage("table_uniq_build"):
+                perf.note(f"table {genome.strand}: uniq run index build")
+                uniq = build_uniq_device(
+                    dev["pseq"], dev["index"], dev["counter"], pattern,
+                    counter_np=dt.counter, max_bytes=uniq_max,
+                )
+        except Exception as e:  # RESOURCE_EXHAUSTED etc.: degrade
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            perf.note(f"table {genome.strand}: uniq build OOM, degrading")
+        if uniq is not None:
+            (dev["uniq_words"], dev["uniq_off"], dev["uniq_counter"],
+             dt.uniq_bits) = uniq
+        else:
+            dt.uniq_bits = 0
+            dev["uniq_words"] = jnp.zeros((1,), dtype=jnp.uint32)
+            dev["uniq_off"] = jnp.zeros((2,), dtype=jnp.uint32)
+            dev["uniq_counter"] = jnp.zeros((2,), dtype=jnp.uint32)
+        need_kw = max(n_key_words, 0 if dt.uniq_bits else 1)
+        if need_kw >= 3 or (need_kw and not dt.uniq_bits):
+            # packed lookup keys from the uploaded genome: saves the
+            # 48-gather host pass and a 12-bytes/entry transfer.  The
+            # exact_b path (b below the verify slabs) needs all 3 words;
+            # a uniq-less table needs word 0 for the entry-space search.
+            kw_bytes = 4 * need_kw * n
+            if free is not None and base + kw_bytes > free:
+                raise HbmBudgetError(
+                    f"key words need {kw_bytes / 2**30:.2f} GB on top of "
+                    f"{base / 2**30:.2f} GB of tables; budget is "
+                    f"{budget / 2**30:.0f} GB (set WALTX_HBM_GB to override)"
+                )
+            with perf.stage("table_key_words"):
+                perf.note(f"table {genome.strand}: building {need_kw}-word "
+                          f"key table ({kw_bytes / 2**30:.2f} GB)")
+                dev["key_words"] = build_key_words_device(
+                    dev["pseq"], dt.index, pattern, n_key_words=need_kw,
+                )
+        else:
+            dev["key_words"] = jnp.zeros((1, 1), dtype=jnp.uint32)
+        perf.note(f"table {genome.strand}: ready (uniq_bits={dt.uniq_bits})")
+        return dt, dev
 
     @staticmethod
     def _full_mask(lens_: np.ndarray, pattern: SeedPattern) -> bool:
@@ -437,6 +543,41 @@ class JaxBackend:
         self.fallback_reads += int(out[4].sum())
         return out
 
+    def _dispatch_mate(self, codes, lens, devs, bits, ubits, ag_wildcard,
+                       b, max_mismatches, pattern, slab, wl_factor,
+                       flat_factor, chunk=None):
+        """Dispatch the fused both-strand mate program over chunks; no fetch."""
+        from walt_tpu.ops import pe_map
+
+        results = []
+        for a, z, pc, pl in self._chunks(codes, lens, pattern, chunk):
+            kw = dict(
+                pattern_name=pattern.name, ag_wildcard=ag_wildcard,
+                search_bits=tuple(bits), verify_slab=slab,
+                cand_slab=self.cand_slab, wl_factor=wl_factor,
+                exact_b=b < slab,
+                flat_factor=flat_factor,
+                uniq_bits=tuple(ubits),
+                full_mask=self._full_mask(lens[a:z], pattern),
+            )
+            if self.mesh is not None:
+                from walt_tpu.parallel import map_mate_sharded
+
+                r = map_mate_sharded(
+                    pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
+                    tuple(devs), mesh=self.mesh, **kw,
+                )
+            else:
+                r = pe_map.map_mate_device(
+                    pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
+                    tuple(devs), **kw,
+                )
+            results.append((a, z, r))
+        for _, _, (meta, flat) in results:
+            meta.copy_to_host_async()
+            flat.copy_to_host_async()
+        return results
+
     def map_mate_slabs_begin(self, codes: np.ndarray, lens: np.ndarray,
                              tables, ag_wildcard: bool, b: int,
                              max_mismatches: int, pattern: SeedPattern):
@@ -457,39 +598,16 @@ class JaxBackend:
             bits.append(dt.max_bucket_bits)
             ubits.append(dt.uniq_bits)
 
-        C = self.cand_slab
-        results = []
-        for a, z, pc, pl in self._chunks(codes, lens, pattern):
-            kw = dict(
-                pattern_name=pattern.name, ag_wildcard=ag_wildcard,
-                search_bits=tuple(bits), verify_slab=self.verify_slab_t1,
-                cand_slab=C, wl_factor=self._wl1,
-                exact_b=b < self.verify_slab_t1,
-                flat_factor=pe_map.FLAT_FACTOR,
-                uniq_bits=tuple(ubits),
-                full_mask=self._full_mask(lens[a:z], pattern),
-            )
-            if self.mesh is not None:
-                from walt_tpu.parallel import map_mate_sharded
+        results = self._dispatch_mate(
+            codes, lens, devs, bits, ubits, ag_wildcard, b, max_mismatches,
+            pattern, self.verify_slab_t1, self._wl1, pe_map.FLAT_FACTOR,
+        )
+        ctx = (codes, lens, devs, bits, ubits, ag_wildcard, b,
+               max_mismatches, pattern)
+        return n, results, ctx
 
-                r = map_mate_sharded(
-                    pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
-                    tuple(devs), mesh=self.mesh, **kw,
-                )
-            else:
-                r = pe_map.map_mate_device(
-                    pc, pl, jnp.int32(b), jnp.int32(max_mismatches),
-                    tuple(devs), **kw,
-                )
-            results.append((a, z, r))
-        for _, _, (meta, flat) in results:
-            meta.copy_to_host_async()
-            flat.copy_to_host_async()
-        return n, results
-
-    def map_mate_slabs_finish(self, handle):
-        """Fetch + decode a :meth:`map_mate_slabs_begin` handle."""
-        n, results = handle
+    def _decode_mate(self, results, n: int):
+        """Fetch + decode flat-compacted mate results into slab streams."""
         C = self.cand_slab
         streams = [
             dict(seed=np.zeros((n, C), dtype=np.int8),
@@ -535,6 +653,46 @@ class JaxBackend:
                     st["seed"][r, c] = ((w1[sel] >> 2) & 0x3F).astype(np.int8)
                     st["pos"][r, c] = flat[:m, 0][sel]
                     st["mm"][r, c] = (w1[sel] >> 8).astype(np.int32)
+        return streams, fallback
+
+    def map_mate_slabs_finish(self, handle):
+        """Fetch + decode a :meth:`map_mate_slabs_begin` handle.
+
+        Overflow reads escalate through larger fused tiers before the exact
+        host path (round-2 verdict next #4: tier-1-only PE left 22.8% of
+        pairs on the host replay): tier 2 re-runs them with the big verify
+        slab and a per-read worklist/flat budget sized so only genuinely
+        pathological reads (flagged buckets, > cand_slab candidates) remain.
+        """
+        from walt_tpu.ops import pe_map
+
+        n, results, ctx = handle
+        (codes, lens, devs, bits, ubits, ag_wildcard, b, max_mismatches,
+         pattern) = ctx
+        streams, fallback = self._decode_mate(results, n)
+        # tiers: (verify_slab, wl_factor, flat_factor, chunk)
+        tiers = (
+            (self.verify_slab, 3 * self.verify_slab,
+             4 * pe_map.FLAT_FACTOR, 4096),
+            (512, 3 * 512, 2 * self.cand_slab, 256),
+        )
+        for slab, wl, ff, chunk in tiers:
+            todo = np.flatnonzero(fallback)
+            if todo.size <= max(32, n // 512):
+                break
+            sub = self._dispatch_mate(
+                codes[todo], lens[todo], devs, bits, ubits, ag_wildcard,
+                b, max_mismatches, pattern, slab, wl, ff, chunk=chunk,
+            )
+            s2, fb2 = self._decode_mate(sub, todo.size)
+            fixed = np.flatnonzero(~fb2)
+            if fixed.size:
+                rows = todo[fixed]
+                for st, st2 in zip(streams, s2):
+                    for k in ("seed", "pos", "mm"):
+                        st[k][rows] = st2[k][fixed]
+                    st["cnt"][rows] = st2["cnt"][fixed]
+                fallback[rows] = False
         self.total_reads += n
         self.fallback_reads += int(fallback.sum())
         return streams, fallback

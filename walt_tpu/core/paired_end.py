@@ -285,20 +285,40 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
     def map_pair(b1, b2):
         """Device map of both mates: all dispatches in flight before the
         first fetch (fused strand programs, ops/pe_map)."""
+        from walt_tpu.core.errors import is_oom_error
+
         with perf.stage("device_map"):
-            handles, lens_by_mate = [], []
-            for pi, batch in enumerate((b1, b2)):
-                codes, lens = batch.packed()
-                lens_by_mate.append(lens)
-                handles.append(backend.map_mate_slabs_begin(
-                    codes, lens, tables[pi], (pi == 1) != pbat, b,
-                    max_mismatches, pattern,
-                ))
-            slab_streams, fb_any = [], None
-            for h in handles:
-                s, fb = backend.map_mate_slabs_finish(h)
-                slab_streams.extend(s)
-                fb_any = fb if fb_any is None else (fb_any | fb)
+            lens_by_mate = [batch.packed()[1] for batch in (b1, b2)]
+            try:
+                handles = []
+                for pi, batch in enumerate((b1, b2)):
+                    codes, lens = batch.packed()
+                    handles.append(backend.map_mate_slabs_begin(
+                        codes, lens, tables[pi], (pi == 1) != pbat, b,
+                        max_mismatches, pattern,
+                    ))
+                slab_streams, fb_any = [], None
+                for h in handles:
+                    s, fb = backend.map_mate_slabs_finish(h)
+                    slab_streams.extend(s)
+                    fb_any = fb if fb_any is None else (fb_any | fb)
+            except Exception as e:
+                if not is_oom_error(e):
+                    raise
+                # device HBM exhausted: route the whole batch to the exact
+                # host path (byte-identical output) and keep going
+                print(f"[waltx] device OOM, host-mapping batch of "
+                      f"{len(b1)} pairs: {e}", file=sys.stderr)
+                n_ = len(b1)
+                C = getattr(backend, "cand_slab", 1)
+                slab_streams = [
+                    dict(seed=np.zeros((n_, C), dtype=np.int8),
+                         pos=np.zeros((n_, C), dtype=np.uint32),
+                         mm=np.zeros((n_, C), dtype=np.int32),
+                         cnt=np.zeros(n_, dtype=np.int32))
+                    for _ in range(4)
+                ]
+                fb_any = np.ones(n_, dtype=bool)
         return slab_streams, fb_any, lens_by_mate
 
     def emit_pair(b1, b2, mapped):

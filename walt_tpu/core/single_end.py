@@ -101,12 +101,30 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
         from concurrent.futures import ThreadPoolExecutor
 
         def map_batch(batch):
+            from walt_tpu.core.errors import is_oom_error
+
             with perf.stage("device_map"):
                 codes, lens = batch.packed()
-                v_pos, v_times, v_minus, v_mm, fb_any = backend.map_single_end(
-                    codes, lens, tables, b, max_mismatches, pattern,
-                    ag_wildcard
-                )
+                try:
+                    v_pos, v_times, v_minus, v_mm, fb_any = backend.map_single_end(
+                        codes, lens, tables, b, max_mismatches, pattern,
+                        ag_wildcard
+                    )
+                except Exception as e:
+                    if not is_oom_error(e):
+                        raise
+                    # device HBM exhausted: remap the whole batch on the
+                    # exact host path (byte-identical output) and keep going
+                    print(f"[waltx] device OOM, host-mapping batch of "
+                          f"{len(lens)} reads: {e}", file=sys.stderr)
+                    n_ = codes.shape[0]
+                    v_pos = np.zeros(n_, dtype=np.uint32)
+                    v_times = np.zeros(n_, dtype=np.int32)
+                    v_minus = np.zeros(n_, dtype=bool)
+                    v_mm = np.full(n_, max_mismatches, dtype=np.int32)
+                    # too-short reads are never mapped (mapping.cpp:230-233);
+                    # their zero defaults already mean "unmapped"
+                    fb_any = lens >= pattern.min_read_len
             return codes, lens, v_pos, v_times, v_minus, v_mm, fb_any
 
         from walt_tpu import native, perf

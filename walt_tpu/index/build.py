@@ -179,6 +179,11 @@ def sort_buckets(genome: Genome, counter: np.ndarray, bucket_of: np.ndarray,
             return out
     except Exception:
         pass
+    if bucket_of is None:  # native CSR build succeeded but the sort failed
+        bucket_of = np.repeat(
+            np.arange(len(counter) - 1, dtype=np.uint32),
+            np.diff(counter.astype(np.int64)),
+        )
     return sort_buckets_numpy(genome, bucket_of, idx, pattern)
 
 
@@ -197,6 +202,34 @@ def build_table(genome: Genome, conversion: str, pattern: SeedPattern | None = N
         g = reverse_complement_genome(g)
     seq = c2t(g.seq) if conversion.startswith("CT") else g2a(g.seq)
     g = dataclasses.replace(g, seq=seq)
+
+    if sort_threads <= 0:
+        import os
+
+        sort_threads = max(1, min(8, os.cpu_count() or 1))
+
+    # preferred path: native counting-sort CSR build -- O(n) memory, no
+    # argsort temporaries (round-2 verdict next #5); the NumPy path below
+    # is the fallback spec
+    from walt_tpu import native
+
+    with perf.stage("index_csr_native"):
+        got = native.csr_build(
+            g.seq, g.start_index, pattern.cared, int(pattern.key_weight),
+            int(pattern.min_seed_len), EXTREMAL_BUCKET, nthreads=sort_threads,
+        )
+    if got is not None:
+        counter, idx, erased_keys, erased_sizes = got
+        if verbose:
+            for bk, bc in zip(erased_keys, erased_sizes):
+                print(
+                    f"[NOTICE: ERASE THE BUCKET {bk} SINCE ITS SIZE IS {bc}]",
+                    file=sys.stderr,
+                )
+        with perf.stage("index_bucket_sort"):
+            idx = sort_buckets(g, counter, None, idx, pattern,
+                               nthreads=sort_threads)
+        return g, HashTable(counter=counter, index=idx)
 
     with perf.stage("index_keys"):
         pos = _valid_positions(g, pattern)
@@ -225,10 +258,6 @@ def build_table(genome: Genome, conversion: str, pattern: SeedPattern | None = N
         idx = pos[order]
         keys_sorted = keys[order]
         del order, pos
-    if sort_threads <= 0:
-        import os
-
-        sort_threads = max(1, min(8, os.cpu_count() or 1))
     with perf.stage("index_bucket_sort"):
         idx = sort_buckets(g, counter, keys_sorted, idx, pattern,
                            nthreads=sort_threads)

@@ -14,7 +14,7 @@ import subprocess
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "finalize.cpp"), os.path.join(_DIR, "fastio.cpp"),
-         os.path.join(_DIR, "se_exact.cpp")]
+         os.path.join(_DIR, "se_exact.cpp"), os.path.join(_DIR, "indexbuild.cpp")]
 _SO = os.path.join(_DIR, "libwaltx_finalize.so")
 
 _lib = None
@@ -74,6 +74,16 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int32,
     ]
     lib.sort_buckets.restype = None
+    lib.csr_count.argtypes = [
+        u8p, u32p, ctypes.c_int32, u32p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, u32p, ctypes.c_int32,
+    ]
+    lib.csr_count.restype = ctypes.c_int32
+    lib.csr_fill.argtypes = [
+        u8p, u32p, ctypes.c_int32, u32p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, u32p, ctypes.c_int32, u8p, u32p,
+    ]
+    lib.csr_fill.restype = None
     lib.sort_buckets_mt.argtypes = lib.sort_buckets.argtypes + [
         ctypes.c_int32,
     ]
@@ -346,6 +356,68 @@ def sort_buckets(seq, chrom_start, counter, index, cared, key_weight,
         ptr(cared, ctypes.c_uint32), key_weight, cared_size, nthreads,
     )
     return True
+
+
+def csr_build(seq, chrom_start, cared, key_weight, min_seed_len,
+              extremal, nthreads: int = 1):
+    """Counting-sort CSR build (reference.cpp:192-256 as a parallel batch).
+
+    Returns (counter (nb+1,) u32, index (n,) u32, erased_keys (k,) int64) or
+    None when the library is unavailable.  O(n) memory -- no key array, no
+    argsort temporaries -- and the fill preserves position-ascending order
+    within buckets via per-range base offsets (see indexbuild.cpp).
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    seq = np.ascontiguousarray(seq)
+    chrom_start = np.ascontiguousarray(chrom_start.astype(np.uint32))
+    cared = np.ascontiguousarray(cared.astype(np.uint32))
+    nb = 1 << (2 * key_weight)
+    n_chroms = len(chrom_start) - 1
+    u32 = ctypes.c_uint32
+    n_ranges = lib.csr_count(
+        ptr(seq, ctypes.c_uint8), ptr(chrom_start, u32), n_chroms,
+        ptr(cared, u32), key_weight, min_seed_len, nthreads, None, 0,
+    )
+    if n_ranges <= 0:
+        return (np.zeros(nb + 1, dtype=np.uint32),
+                np.zeros(0, dtype=np.uint32), np.zeros(0, dtype=np.int64),
+                np.zeros(0, dtype=np.int64))
+    hist = np.zeros((n_ranges, nb), dtype=np.uint32)
+    rc = lib.csr_count(
+        ptr(seq, ctypes.c_uint8), ptr(chrom_start, u32), n_chroms,
+        ptr(cared, u32), key_weight, min_seed_len, nthreads,
+        ptr(hist, u32), n_ranges,
+    )
+    if rc != n_ranges:
+        return None
+    counts = hist.sum(axis=0, dtype=np.int64)
+    erased_keys = np.flatnonzero(counts >= extremal)
+    erased_sizes = counts[erased_keys].copy()
+    counts[erased_keys] = 0
+    counter = np.zeros(nb + 1, dtype=np.uint32)
+    counter[1:] = np.cumsum(counts).astype(np.uint32)
+    erased = np.zeros(nb, dtype=np.uint8)
+    erased[erased_keys] = 1
+    # write offset of each (range, key): CSR base + earlier ranges' counts
+    base = (np.cumsum(hist, axis=0, dtype=np.int64) - hist
+            + counter[:-1][None, :]).astype(np.uint32)
+    del hist
+    index = np.empty(int(counter[-1]), dtype=np.uint32)
+    lib.csr_fill(
+        ptr(seq, ctypes.c_uint8), ptr(chrom_start, u32), n_chroms,
+        ptr(cared, u32), key_weight, min_seed_len, nthreads,
+        ptr(base, u32), n_ranges, ptr(erased, ctypes.c_uint8),
+        ptr(index, u32),
+    )
+    return counter, index, erased_keys, erased_sizes
 
 
 def _exact_args(codes, lens, tables, ag_wildcard, pattern, nthreads):

@@ -106,6 +106,26 @@ def window_words(pseq, gpos, n_words: int):
     )
 
 
+def window_cols(pseq, gpos, n_words: int):
+    """Like :func:`window_words` but as a LIST of 1-D aligned word columns.
+
+    For very wide rows (tens of millions) XLA picks a catastrophically
+    padded layout for the (M, n_words+1) 2-D gather (18x expansion observed
+    at M=32M on v5e -- a 16 GB temp for an 896 MB gather).  n_words+1
+    separate 1-D gathers move the same HBM bytes with plain layouts.
+    """
+    word0 = (gpos >> 4).astype(jnp.int32)
+    sh = ((gpos & 15) << 1).astype(jnp.uint32)
+    cols = [jnp.take(pseq, word0 + j, mode="clip") for j in range(n_words + 1)]
+    out = []
+    for j in range(n_words):
+        lo, hi = cols[j], cols[j + 1]
+        out.append(jnp.where(
+            sh == 0, lo, (lo << sh) | ((hi >> (jnp.uint32(31) - sh)) >> 1)
+        ))
+    return out
+
+
 def count_mismatch_words(a, b, lane_mask):
     """Per-word mismatching-lane count: popcount of the 2-bit OR-fold."""
     d = a ^ b

@@ -28,6 +28,21 @@ def enabled() -> bool:
     return os.environ.get("WALTX_PERF", "") == "1"
 
 
+_t_start = time.perf_counter()
+
+
+def note(msg: str) -> None:
+    """Timestamped progress line to stderr (WALTX_PROGRESS=1 or WALTX_PERF=1).
+
+    Long silent phases (multi-GB table uploads over a ~30 MB/s tunnel,
+    multi-minute first compiles) made the round-2 bench look hung; every
+    such phase now announces itself.
+    """
+    if enabled() or os.environ.get("WALTX_PROGRESS", "") == "1":
+        print(f"[waltx +{time.perf_counter() - _t_start:8.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+
 def add(stage: str, seconds: float, n: int = 1) -> None:
     _stages[stage] += seconds
     _counts[stage] += n
