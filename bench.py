@@ -228,6 +228,12 @@ def main() -> int:
         dict(name="se_small_4M", cache=CACHE, n_bases=4_000_000,
              n_reads=200_000, read_len=100, repetitive=False, paired=False,
              batch=65_536),
+        # largest single-chip config (walt_tpu.hbm_plan: 768 Mbp x 2 tables
+        # ride the word-0 ladder rung at ~12 GB/chip; 1 Gbp needs tp=2).
+        # Listed last so the wall-clock budget guard protects the headline.
+        dict(name="se_xl_768M", cache="/tmp/waltx_bench_xl",
+             n_bases=768_000_000, n_reads=2_000_000, read_len=100,
+             repetitive=True, paired=False, batch=500_000, repeats=2),
     ]
     for cfg in configs:
         if only and only != cfg["name"]:

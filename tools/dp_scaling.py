@@ -141,10 +141,117 @@ def main() -> int:
             fallback=int(out[4].sum()),
         ))
         print(json.dumps(results[-1]))
+
+    results.extend(tp_cost(tables, codes, lens, pattern, n_reads))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "SCALING.json"), "w") as f:
         json.dump(results, f, indent=1)
     return 0
+
+
+def tp_cost(tables, codes, lens, pattern, n_reads):
+    """tp-axis cost on the serial CPU mesh (round-2 verdict next #8).
+
+    Measures the device program at (dp=1, tp=1) vs (dp=1, tp=2) over the
+    SAME total table.  Serial virtual devices => t_tp2 / t_tp1 is the total
+    extra work tensor-parallelism adds (each shard runs every read against
+    its half-table, plus the all_gather examination-order merge); on real
+    parallel chips per-chip time is t_tp2 / 2, so
+
+        implied_tp_efficiency = t_tp1 / t_tp2
+
+    The merge share is isolated by timing a merge-only shard_map program on
+    slab-shaped inputs: all_gather over tp + per-read stable reorder,
+    exactly the _merge_tp the production step runs per strand table.
+    """
+    import jax.numpy as jnp
+
+    from walt_tpu.core.jax_backend import JaxBackend
+    from walt_tpu.parallel import make_mesh
+    from walt_tpu.parallel.sharded import _merge_tp, map_single_end_sharded
+    from walt_tpu.ops import se_fold
+
+    out = []
+    t_by_tp = {}
+    for tp in (1, 2):
+        devs = jax.devices()[:tp]
+        if len(devs) < tp:
+            break
+        backend = JaxBackend(
+            mesh=make_mesh(devs, tp=tp) if tp > 1 else None,
+            chunk=n_reads, small_chunk=n_reads,
+        )
+        dtabs, bits, ubits = [], [], []
+        for g, ht in tables:
+            dti, devd = backend._device_table(g, ht, pattern, 1)
+            dtabs.append(devd)
+            bits.append(dti.max_bucket_bits)
+            ubits.append(dti.uniq_bits)
+        (a, z, pc, pl), = backend._chunks(codes, lens, pattern)
+        kw = dict(pattern_name=pattern.name, ag_wildcard=False, seeds=None,
+                  search_bits=tuple(bits), verify_slab=backend.verify_slab_t1,
+                  cand_slab=backend.cand_slab, wl_factor=backend._wl1,
+                  exact_b=False, uniq_bits=tuple(ubits))
+        if backend.mesh is not None:
+            prog = lambda: map_single_end_sharded(  # noqa: E731
+                pc, pl, jnp.int32(5000), jnp.int32(6), tuple(dtabs),
+                mesh=backend.mesh, **kw)
+        else:
+            prog = lambda: se_fold.map_single_end_device(  # noqa: E731
+                pc, pl, jnp.int32(5000), jnp.int32(6), tuple(dtabs), **kw)
+        jax.block_until_ready(prog())
+        dt = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(prog())
+            dt = min(dt, time.perf_counter() - t0)
+        t_by_tp[tp] = dt
+
+        merge_s = None
+        if backend.mesh is not None:
+            import functools
+
+            from jax.sharding import PartitionSpec as P
+
+            C = backend.cand_slab
+            Bl = n_reads  # dp=1: every shard sees the full chunk
+            rng = np.random.default_rng(0)
+            cs = jnp.asarray(rng.integers(-1, 3, (Bl, C), dtype=np.int64
+                                          ).astype(np.int8))
+            cp = jnp.asarray(rng.integers(0, 2**31, (Bl, C)).astype(np.uint32))
+            cm = jnp.asarray(rng.integers(0, 7, (Bl, C)).astype(np.int32))
+            fb = jnp.zeros((Bl,), bool)
+
+            @functools.partial(
+                jax.shard_map, mesh=backend.mesh,
+                in_specs=(P(), P(), P(), P()),
+                out_specs=(P("tp"),) * 5, check_vma=False,
+            )
+            def merge_only(cs, cp, cm, fb):
+                return _merge_tp(cs, cp, cm, fb, C)
+
+            merge_fn = jax.jit(merge_only)
+            jax.block_until_ready(merge_fn(cs, cp, cm, fb))
+            merge_s = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.block_until_ready(merge_fn(cs, cp, cm, fb))
+                merge_s = min(merge_s, time.perf_counter() - t0)
+            # the production step merges once per strand table
+            merge_s *= len(tables)
+
+        row = dict(
+            tp=tp, device_program_s=round(dt, 4),
+            implied_tp_efficiency=(
+                round(t_by_tp[1] / dt, 3) if 1 in t_by_tp else None
+            ),
+        )
+        if merge_s is not None:
+            row["tp_merge_s"] = round(merge_s, 4)
+            row["tp_merge_share"] = round(merge_s / dt, 3)
+        out.append(row)
+        print(json.dumps(row))
+    return out
 
 
 if __name__ == "__main__":

@@ -81,6 +81,11 @@ class JaxBackend:
         self._dp = int(mesh.shape["dp"]) if mesh is not None else 1
         self._tp = int(mesh.shape["tp"]) if mesh is not None else 1
         self._tables = {}
+        #: how many tables the current run will keep resident (2 SE, 4 PE);
+        #: the HBM budget ladder splits the free budget evenly across the
+        #: tables not yet built so early tables cannot starve later ones
+        #: (drivers set this; 0 = give each table everything that is free)
+        self.table_budget_hint = 0
         self.fallback_reads = 0
         self.total_reads = 0
         self.reset_adaptive()
@@ -202,6 +207,9 @@ class JaxBackend:
                 + dt.start_index.nbytes + dt.bucket_flagged.nbytes)
         free = (None if budget is None
                 else budget - self.HBM_RESERVE - self._resident_bytes())
+        if free is not None and self.table_budget_hint:
+            remaining = max(1, self.table_budget_hint - len(self._tables))
+            free = free // remaining
         if free is not None and base > free:
             raise HbmBudgetError(
                 f"table needs {base / 2**30:.2f} GB but only "

@@ -209,6 +209,8 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
         for pair in table_names
     ]
     strands = "+-"
+    if hasattr(backend, "table_budget_hint"):
+        backend.table_budget_hint = 4  # HBM budget split across all 4 tables
 
     stat = emit.StatPairedReads(
         frag_len_count=np.zeros(frag_range + 1, dtype=np.int64)

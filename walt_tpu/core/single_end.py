@@ -41,6 +41,8 @@ def process_single_end(index_file: str, reads_file: str, output_file: str,
     suffixes = ("_CT00", "_CT01") if not ag_wildcard else ("_GA10", "_GA11")
     tables = [io_walt.read_table_cached(index_file + s, genome_meta) for s in suffixes]
     strands = "+-"
+    if hasattr(backend, "table_budget_hint"):
+        backend.table_budget_hint = 2  # HBM budget split across both strands
 
     ckpt = Checkpoint(output_file, [reads_file], ckpt_tag) if resume else None
     resuming = ckpt is not None and ckpt.load()
