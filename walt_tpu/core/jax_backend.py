@@ -297,13 +297,19 @@ class JaxBackend:
 
     def _chunks(self, codes: np.ndarray, lens: np.ndarray,
                 pattern: SeedPattern, chunk: int | None = None):
-        """Pack reads and yield fixed-shape (preads, lens) device chunks.
+        """Pack reads and lazily yield fixed-shape (preads, lens) chunks.
 
         A short ladder of chunk shapes (small_chunk, intermediate steps,
         chunk) keeps the compile set tiny while neither revisit phases on a
         few hundred reads nor batch tails pay a full-size chunk of (heavily
         per-op-overhead-bound) device time; tiers with a large verify slab
         pass an explicit small ``chunk``.
+
+        This is a GENERATOR on purpose: host->device transfers block on
+        tunnel-attached devices, so eagerly uploading every chunk before
+        the first dispatch serializes ~seconds of H2D ahead of all compute.
+        Yielding lazily lets the caller dispatch chunk i before chunk i+1
+        is uploaded -- the upload then rides under the device time.
         """
         n = codes.shape[0]
         Lmax = _round_up(max(int(codes.shape[1]), pattern.min_read_len),
@@ -330,7 +336,6 @@ class JaxBackend:
             shard_r = NamedSharding(self.mesh, P("dp", None))
             shard_l = NamedSharding(self.mesh, P("dp"))
             put = jax.device_put
-        out = []
         a = 0
         while a < n:
             if chunk is not None:
@@ -343,11 +348,10 @@ class JaxBackend:
             pl = np.zeros(c, dtype=np.int32)
             pl[: z - a] = lens[a:z]
             if self.mesh is not None:
-                out.append((a, z, put(pc, shard_r), put(pl, shard_l)))
+                yield a, z, put(pc, shard_r), put(pl, shard_l)
             else:
-                out.append((a, z, jnp.asarray(pc), jnp.asarray(pl)))
+                yield a, z, jnp.asarray(pc), jnp.asarray(pl)
             a = z
-        return out
 
     def map_single_end(self, codes: np.ndarray, lens: np.ndarray, tables,
                        b: int, max_mismatches: int, pattern: SeedPattern,

@@ -113,16 +113,26 @@ def make_mesh(devices=None, tp: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices).reshape(n // tp, tp), ("dp", "tp"))
 
 
+_MAX_SHIFT = 8  # seed shifts are < pattern_len <= 7 for patterns 3/5/7
+
+
 def _merge_tp(cs, cp, cm, fb, cand_slab: int):
     """Merge per-tp-shard candidate slabs back into reference order.
 
     Inside a shard_map body with a 'tp' axis: all_gather the (B_l, C) slabs
-    from every table shard and re-order per read on (seed asc, within-shard
-    arrival order).  A bucket lives wholly on one shard, so for a given
-    (read, seed) at most one shard contributes and the merged order equals
-    the unsharded pipeline's examination order exactly.
+    from every table shard and re-order per read on (seed asc, shard asc,
+    within-shard arrival order).  A bucket lives wholly on one shard, so
+    for a given (read, seed) at most one shard contributes and the merged
+    order equals the unsharded pipeline's examination order exactly.
+
+    Each shard's slab is already seed-major ordered, so the merge is a
+    seed-GROUP CONCATENATION, computed with rank arithmetic + one scatter:
+    dest(slot t,j) = (candidates of smaller seeds, all shards)
+                   + (same-seed candidates of earlier shards)
+                   + (within-shard rank inside the seed group).
+    The previous argsort formulation cost 58% of the whole tp=2 device
+    program (SCALING.json round 3, tp_merge_share).
     """
-    T = jax.lax.axis_size("tp")
     cs_g = jax.lax.all_gather(cs, "tp")  # (T, B_l, C)
     cp_g = jax.lax.all_gather(cp, "tp")
     cm_g = jax.lax.all_gather(cm, "tp")
@@ -130,19 +140,36 @@ def _merge_tp(cs, cp, cm, fb, cand_slab: int):
 
     Bl = cs.shape[0]
     C = cand_slab
-    flat_seed = jnp.moveaxis(cs_g, 0, 1).reshape(Bl, T * C)
-    flat_pos = jnp.moveaxis(cp_g, 0, 1).reshape(Bl, T * C)
-    flat_mm = jnp.moveaxis(cm_g, 0, 1).reshape(Bl, T * C)
-    valid = flat_seed >= 0
-    arrival = jnp.arange(T * C, dtype=jnp.int32)[None, :]
-    order_key = jnp.where(
-        valid, flat_seed.astype(jnp.int32) * (T * C) + arrival, 2**30
+    valid = cs_g >= 0  # (T, Bl, C)
+    seeds = jnp.clip(cs_g.astype(jnp.int32), 0, _MAX_SHIFT - 1)
+    onehot = (
+        (jnp.arange(_MAX_SHIFT, dtype=jnp.int32)[None, None, None, :]
+         == seeds[..., None])
+        & valid[..., None]
     )
-    order = jnp.argsort(order_key, axis=1)[:, :C]
-    m_seed = jnp.take_along_axis(flat_seed, order, axis=1)
-    m_pos = jnp.take_along_axis(flat_pos, order, axis=1)
-    m_mm = jnp.take_along_axis(flat_mm, order, axis=1)
-    total = jnp.sum(valid, axis=1, dtype=jnp.int32)
+    c_ts = jnp.sum(onehot, axis=2, dtype=jnp.int32)  # (T, Bl, S)
+    # within-shard exclusive seed-group starts, gathered per slot
+    off_ts = jnp.cumsum(c_ts, axis=-1) - c_ts
+    off_slot = jnp.take_along_axis(off_ts, seeds, axis=2)  # (T, Bl, C)
+    rank = jnp.arange(C, dtype=jnp.int32)[None, None, :] - off_slot
+    # global exclusive base: smaller seeds across ALL shards, plus the
+    # same seed on earlier shards (vacuous when buckets are disjoint,
+    # kept for safety)
+    tot_s = jnp.sum(c_ts, axis=0)  # (Bl, S)
+    g_s = jnp.cumsum(tot_s, axis=-1) - tot_s
+    prior_t = jnp.cumsum(c_ts, axis=0) - c_ts  # (T, Bl, S)
+    base_slot = jnp.take_along_axis(g_s[None] + prior_t, seeds, axis=2)
+    dest = jnp.where(valid, base_slot + rank, C)  # >= C drops
+
+    b_idx = jnp.broadcast_to(jnp.arange(Bl, dtype=jnp.int32)[None, :, None],
+                             dest.shape)
+    m_seed = jnp.full((Bl, C), -1, dtype=cs.dtype).at[b_idx, dest].set(
+        cs_g, mode="drop")
+    m_pos = jnp.zeros((Bl, C), dtype=cp.dtype).at[b_idx, dest].set(
+        cp_g, mode="drop")
+    m_mm = jnp.zeros((Bl, C), dtype=cm.dtype).at[b_idx, dest].set(
+        cm_g, mode="drop")
+    total = jnp.sum(valid, axis=(0, 2), dtype=jnp.int32)
     fb_any = fb_any | (total > C)
     return m_seed, m_pos, m_mm, jnp.minimum(total, C), fb_any
 
