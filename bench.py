@@ -249,6 +249,17 @@ def main() -> int:
             d = _bench_config(**cfg)
             details.append(d)
             print(json.dumps(d), file=sys.stderr, flush=True)
+            if len(details) == 1:
+                # emit the headline line as soon as the first (highest-
+                # priority) config lands, so an external kill during a
+                # later config cannot lose the round's number
+                print(json.dumps({
+                    "metric": (f"{d['config']}_"
+                               f"{d['unit'].replace('/', '_per_')}_1chip"),
+                    "value": d["value"],
+                    "unit": d["unit"],
+                    "vs_baseline": d["vs_baseline"],
+                }), flush=True)
         except Exception as e:
             _note(f"{cfg['name']} FAILED: {e!r}")
             traceback.print_exc()
@@ -284,13 +295,7 @@ def main() -> int:
             "vs_baseline": 0, "error": (failures or [{}])[0].get("error", ""),
         }))
         return 1
-    head = details[0]
-    print(json.dumps({
-        "metric": f"{head['config']}_{head['unit'].replace('/', '_per_')}_1chip",
-        "value": head["value"],
-        "unit": head["unit"],
-        "vs_baseline": head["vs_baseline"],
-    }))
+    # headline already printed right after the first config completed
     return 0
 
 

@@ -31,6 +31,58 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+#: H2D transfer piece for multi-GB arrays (see _upload_pieces)
+UPLOAD_PIECE = 128 << 20
+
+
+def _upload_pieces(arr: np.ndarray, label: str,
+                   piece_bytes: int = UPLOAD_PIECE):
+    """Upload a large 1-D host array in pieces, with progress notes.
+
+    Tunnel-attached devices stall unpredictably on multi-GB single
+    transfers (observed: a 1.9 GB jnp.asarray silent for 15+ minutes with
+    zero link traffic) and give no progress signal.  Piecewise upload makes
+    the transfer observable (perf.note per piece with live MB/s) and keeps
+    each transfer unit small.  The device buffer is assembled with donated
+    dynamic_update_slice calls; the final short piece re-writes an
+    overlapping full-size window (same bytes) so one compiled shape covers
+    every piece.
+    """
+    import functools
+    import time
+
+    import jax
+
+    from walt_tpu import perf
+
+    if arr.ndim != 1 or arr.nbytes <= piece_bytes:
+        return jnp.asarray(arr)
+    n = arr.shape[0]
+    step = piece_bytes // arr.itemsize
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def upd(out, piece, at):
+        return jax.lax.dynamic_update_slice(out, piece, (at,))
+
+    out = jnp.zeros((n,), dtype=arr.dtype)
+    done = 0
+    t0 = time.perf_counter()
+    for a in range(0, n, step):
+        if a + step > n:
+            a = n - step  # overlap: rewrites identical bytes
+        piece = jnp.asarray(np.ascontiguousarray(arr[a : a + step]))
+        out = upd(out, piece, jnp.int32(a))
+        np.asarray(piece[-1:])  # sync: one ~35 ms RTT per piece, so the
+        # progress notes reflect real transfer completion
+        done = min(done + step, n)
+        dt_s = max(time.perf_counter() - t0, 1e-9)
+        perf.note(
+            f"{label}: {done * arr.itemsize >> 20}/{arr.nbytes >> 20} MB "
+            f"({done * arr.itemsize / dt_s / 2**20:.0f} MB/s)"
+        )
+    return out
+
+
 def _enable_compile_cache():
     """Persistent on-disk XLA compile cache (tunnel compiles run minutes)."""
     import os
@@ -223,12 +275,10 @@ class JaxBackend:
             dev = dict(
                 pseq=jnp.asarray(dt.pseq),
                 counter=jnp.asarray(dt.counter),
-                index=jnp.asarray(dt.index),
+                index=_upload_pieces(dt.index, f"table {genome.strand} index"),
                 start_index=jnp.asarray(dt.start_index),
                 bucket_flagged=jnp.asarray(dt.bucket_flagged),
             )
-            # sync so the note/stage brackets the actual transfer
-            np.asarray(dev["index"][:1])
         n = int(dt.index.shape[0])
         # word-0 run dedup, computed from the resident arrays: the fast
         # path searches runs (uniq_bits <= max_bucket_bits probes) and
@@ -614,9 +664,7 @@ class JaxBackend:
             codes, lens, devs, bits, ubits, ag_wildcard, b, max_mismatches,
             pattern, self.verify_slab_t1, self._wl1, pe_map.FLAT_FACTOR,
         )
-        ctx = (codes, lens, devs, bits, ubits, ag_wildcard, b,
-               max_mismatches, pattern)
-        return n, results, ctx
+        return n, results
 
     def _decode_mate(self, results, n: int):
         """Fetch + decode flat-compacted mate results into slab streams."""
@@ -670,41 +718,17 @@ class JaxBackend:
     def map_mate_slabs_finish(self, handle):
         """Fetch + decode a :meth:`map_mate_slabs_begin` handle.
 
-        Overflow reads escalate through larger fused tiers before the exact
-        host path (round-2 verdict next #4: tier-1-only PE left 22.8% of
-        pairs on the host replay): tier 2 re-runs them with the big verify
-        slab and a per-read worklist/flat budget sized so only genuinely
-        pathological reads (flagged buckets, > cand_slab candidates) remain.
+        Overflow reads go straight to the native host replay: it runs
+        CONCURRENTLY with the next batch's device time in the pipelined PE
+        driver (free, off the critical path), while a device tier re-run
+        adds dispatches ON the critical path -- measured on the real chip,
+        a slab-64/slab-512 tier ladder here cost 6.7x throughput (8.3k vs
+        55.6k pairs/s) even though it cut the fallback rate 22.8% -> 3.4%.
+        (Without the native library the PE driver takes the map_strand
+        path, whose slab tiers in :meth:`map_strand_slabs` play this role.)
         """
-        from walt_tpu.ops import pe_map
-
-        n, results, ctx = handle
-        (codes, lens, devs, bits, ubits, ag_wildcard, b, max_mismatches,
-         pattern) = ctx
+        n, results = handle
         streams, fallback = self._decode_mate(results, n)
-        # tiers: (verify_slab, wl_factor, flat_factor, chunk)
-        tiers = (
-            (self.verify_slab, 3 * self.verify_slab,
-             4 * pe_map.FLAT_FACTOR, 4096),
-            (512, 3 * 512, 2 * self.cand_slab, 256),
-        )
-        for slab, wl, ff, chunk in tiers:
-            todo = np.flatnonzero(fallback)
-            if todo.size <= max(32, n // 512):
-                break
-            sub = self._dispatch_mate(
-                codes[todo], lens[todo], devs, bits, ubits, ag_wildcard,
-                b, max_mismatches, pattern, slab, wl, ff, chunk=chunk,
-            )
-            s2, fb2 = self._decode_mate(sub, todo.size)
-            fixed = np.flatnonzero(~fb2)
-            if fixed.size:
-                rows = todo[fixed]
-                for st, st2 in zip(streams, s2):
-                    for k in ("seed", "pos", "mm"):
-                        st[k][rows] = st2[k][fixed]
-                    st["cnt"][rows] = st2["cnt"][fixed]
-                fallback[rows] = False
         self.total_reads += n
         self.fallback_reads += int(fallback.sum())
         return streams, fallback

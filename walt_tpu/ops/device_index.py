@@ -338,71 +338,59 @@ def build_uniq_device(pseq_dev, index_dev, counter_dev, pattern: SeedPattern,
         breaks = (bs | (w0 != prev)) & (base + i32 < n)
         return w0, breaks
 
-    # Both passes iterate the chunks INSIDE one compiled program as a
-    # STATIC Python unroll: a 650M-entry table is ~20 chunks, and per-chunk
-    # host dispatch + sync cost minutes over a tunnel-attached device
-    # (round-2 warmup hang).  lax.fori_loop / while_loop would be the
-    # textbook form, but structured control flow hangs the experimental
-    # axon TPU runtime (worker crash, verified twice on real hardware), and
-    # n_chunks is static anyway -- the unroll compiles to the same
-    # sequential chain.  One dispatch per pass.
+    # Both passes dispatch one jitted program PER CHUNK, eagerly.  Fusing
+    # the chunks into one program (lax.fori_loop, or a static unroll with
+    # optimization barriers) is the textbook form, but both crash the
+    # experimental axon TPU runtime at genome scale (kernel-fault worker
+    # crashes, reproduced three times on real hardware); per-chunk eager
+    # dispatch is the formulation that runs.  Dispatch overhead is bounded
+    # by using large chunks (default 32M entries -> ~20 dispatches/pass for
+    # a 650M-entry table) and syncing ONCE per pass instead of per chunk.
     @jax.jit
-    def count_all(pseq, index_dev, bits_full):
-        carry = jnp.zeros((1,), jnp.uint32)
-        total = jnp.int32(0)
-        for i in range(n_chunks):
-            w0, breaks = chunk_runs(pseq, index_dev, bits_full,
-                                    jnp.int32(i * chunk), carry)
-            carry = w0[-1:]
-            total = total + jnp.sum(breaks, dtype=jnp.int32)
-            # chunk i+1's gathers do not data-depend on chunk i, so XLA
-            # hoists them all and every chunk's temporaries go live at once
-            # (18 GB HLO temp at 512 Mbp).  The barrier serializes the
-            # bodies so buffers are reused: peak = ONE chunk's temporaries.
-            pseq, index_dev, bits_full, carry, total = (
-                jax.lax.optimization_barrier(
-                    (pseq, index_dev, bits_full, carry, total)
-                )
-            )
-        return total
+    def count_chunk(pseq, index_dev, bits_full, base, carry):
+        w0, breaks = chunk_runs(pseq, index_dev, bits_full, base, carry)
+        return w0[-1:], jnp.sum(breaks, dtype=jnp.int32)
 
-    total = int(count_all(pseq_dev, index_dev, bits_full))
+    carry = jnp.zeros((1,), jnp.uint32)
+    cnts = []
+    for i in range(n_chunks):
+        carry, cnt = count_chunk(pseq_dev, index_dev, bits_full,
+                                 jnp.int32(i * chunk), carry)
+        cnts.append(cnt)
+    counts = [int(c) for c in np.asarray(jnp.stack(cnts))]  # one sync
+    total = sum(counts)
     if max_bytes is not None and 8 * (total + 1) + (nbw * 4) > max_bytes:
         # the run index would not fit the caller's HBM budget
         return None
 
-    @functools.partial(jax.jit, donate_argnums=(3, 4))
-    def fill_all(pseq, index_dev, bits_full, uw_full, us_full):
+    @functools.partial(jax.jit, donate_argnums=(5, 6))
+    def fill_chunk(pseq, index_dev, bits_full, base, carry, uw_full, us_full,
+                   offset):
         U = uw_full.shape[0]
-        carry = jnp.zeros((1,), jnp.uint32)
-        offset = jnp.int32(0)
+        w0, breaks = chunk_runs(pseq, index_dev, bits_full, base, carry)
         i32 = jnp.arange(chunk, dtype=jnp.int32)
-        for i in range(n_chunks):
-            base = jnp.int32(i * chunk)
-            w0, breaks = chunk_runs(pseq, index_dev, bits_full, base, carry)
-            carry = w0[-1:]
-            uid = jnp.cumsum(breaks.astype(jnp.int32)) - 1
-            dest = jnp.where(breaks, offset + uid, U)
-            uw_full = uw_full.at[dest].set(w0, mode="drop")
-            # us_full has U+1 slots (terminating n at index U): non-break
-            # rows must drop PAST it, not overwrite it
-            dest_us = jnp.where(breaks, offset + uid, U + 1)
-            us_full = us_full.at[dest_us].set(
-                (base + i32).astype(jnp.uint32), mode="drop"
-            )
-            offset = offset + uid[-1] + 1
-            # serialize bodies for buffer reuse (see count_all)
-            (pseq, index_dev, bits_full, carry, offset, uw_full,
-             us_full) = jax.lax.optimization_barrier(
-                (pseq, index_dev, bits_full, carry, offset, uw_full, us_full)
-            )
-        return uw_full, us_full
+        uid = jnp.cumsum(breaks.astype(jnp.int32)) - 1
+        dest = jnp.where(breaks, offset + uid, U)
+        uw_full = uw_full.at[dest].set(w0, mode="drop")
+        # us_full has U+1 slots (terminating n at index U): non-break
+        # rows must drop PAST it, not overwrite it
+        dest_us = jnp.where(breaks, offset + uid, U + 1)
+        us_full = us_full.at[dest_us].set(
+            (base + i32).astype(jnp.uint32), mode="drop"
+        )
+        return w0[-1:], uw_full, us_full
 
     uw_full = jnp.zeros((total,), jnp.uint32)
     us_full = jnp.zeros((total + 1,), jnp.uint32).at[total].set(jnp.uint32(n))
-    uniq_words, uniq_off = fill_all(
-        pseq_dev, index_dev, bits_full, uw_full, us_full
-    )
+    carry = jnp.zeros((1,), jnp.uint32)
+    off = 0
+    for i in range(n_chunks):
+        carry, uw_full, us_full = fill_chunk(
+            pseq_dev, index_dev, bits_full, jnp.int32(i * chunk), carry,
+            uw_full, us_full, jnp.int32(off),
+        )
+        off += counts[i]
+    uniq_words, uniq_off = uw_full, us_full
     # uniq_off (U + 1,): run starts plus the terminating n
     uniq_counter = jnp.searchsorted(
         uniq_off[:-1], counter_dev, side="left"
