@@ -14,32 +14,36 @@ def test_bench_se_large_fits_one_chip_with_uniq():
     assert abs(p.per_table_accel / G - 3.61) < 0.1
 
 
-def test_bench_se_xl_768M_fits_one_chip_word0():
+def test_bench_se_xl_768M_fits_one_chip_key16():
     p = plan_tables(768_000_000, 2, uniq_ratio=0.93)
-    assert p.tp == 1 and not p.uniq  # uniq would blow the budget; word0 fits
+    assert p.tp == 1 and not p.uniq  # uniq would blow the budget; key16 fits
     assert p.fits()
+    assert abs(p.per_chip_bytes / G - 9.10) < 0.2
 
 
-def test_one_gbp_does_not_fit_one_chip():
+def test_one_gbp_is_the_single_chip_limit():
+    """1 Gbp is the borderline: 11.8 of the 12.5 GB budget with key16."""
     p = plan_tables(1_000_000_000, 2, uniq_ratio=0.93)
-    assert p.tp == 2  # 2 x (4.0 GB index + 4.0 GB word0 + base) > 14 GB
+    assert p.tp == 1 and not p.uniq
+    assert p.per_chip_bytes / G > 11.5  # no headroom: bench stays at 768M
+    assert plan_tables(1_200_000_000, 2, uniq_ratio=0.93).tp == 2
 
 
 def test_hg19_se_plan():
-    """hg19 (3.1 Gbp) SE: tp=4, word-0 key tables, ~13.0 GB/chip."""
+    """hg19 (3.1 Gbp) SE: tp=4, key16 prefix tables, ~10.1 GB/chip."""
     p = plan_tables(3_100_000_000, 2, uniq_ratio=0.93)
     assert p.tp == 4 and not p.uniq
     assert p.fits()
-    assert abs(p.per_chip_bytes / G - 13.03) < 0.2
-    base, _, kw0 = table_bytes(3_100_000_000)
+    assert abs(p.per_chip_bytes / G - 10.14) < 0.2
+    base, _, kw16 = table_bytes(3_100_000_000)
     assert abs(base / G - 12.35) < 0.1      # pseq+counter+index+flags
-    assert abs(kw0 / G - 11.55) < 0.1       # 4 bytes/entry word-0 keys
+    assert abs(kw16 / G - 5.77) < 0.1       # 2 bytes/entry key16 prefix
 
 
 def test_hg19_pe_plan():
-    """hg19 PE (4 resident tables): tp=16 with the uniq run index."""
+    """hg19 PE (4 resident tables): tp=8 with key16 prefix tables."""
     p = plan_tables(3_100_000_000, 4, uniq_ratio=0.93)
-    assert p.tp == 16 and p.uniq
+    assert p.tp == 8 and not p.uniq
     assert p.fits()
 
 

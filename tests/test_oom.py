@@ -94,8 +94,13 @@ def test_no_uniq_degrade_identical(tmp_path, my_index, se_fastq, monkeypatch):
     nu = str(tmp_path / "nouniq.mr")
     backend = JaxBackend(chunk=256, small_chunk=64)
     _run_se(my_index, se_fastq, nu, backend)
-    # the degrade actually happened: no table carries a uniq index
+    # the degrade actually happened: no table carries a uniq index, and
+    # the fast path runs on the 16-bit prefix key tables
     assert all(entry[0].uniq_bits == 0 for entry in backend._tables.values())
+    import jax.numpy as jnp
+
+    assert all(entry[1]["key_words"].dtype == jnp.uint16
+               for entry in backend._tables.values())
     assert open(nu).read() == open(ok).read()
 
 

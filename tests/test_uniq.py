@@ -132,3 +132,36 @@ def test_full_mask_helper(table):
     # sub-minimum reads never map: they do not constrain the variant
     assert fm(np.asarray([0, 8, 100], np.int32), pattern)
     assert fm(np.asarray([0], np.int32), pattern)
+
+
+def test_key16_vs_oracle_repetitive(tmp_path, monkeypatch):
+    """16-bit prefix keys on a REPEAT-heavy genome (prefix collisions are
+    common there) still reproduce the oracle byte-for-byte."""
+
+    from walt_tpu.core.backends import NumpyBackend
+    from walt_tpu.core.jax_backend import JaxBackend
+    from walt_tpu.index.build import build_table
+    from walt_tpu.ops import device_index
+    from walt_tpu.synth import make_genome_repetitive, sample_reads
+
+    genome = make_genome_repetitive(400_000, n_chroms=2, seed=17)
+    pattern = get_pattern("3")
+    g, ht = build_table(genome, "CT00", pattern, verbose=False)
+    codes, lens, _ = sample_reads(genome, 2000, 100, seed=23)
+
+    # force the key16 ladder rung (uniq over budget)
+    real = device_index.build_uniq_device
+    monkeypatch.setattr(
+        device_index, "build_uniq_device",
+        lambda *a, **kw: real(*a, **dict(kw, max_bytes=8)),
+    )
+    backend = JaxBackend(chunk=1024, small_chunk=1024)
+    got = backend.map_strand(codes, lens, g, ht, False, 5000, 6, pattern)
+    assert all(
+        e[1]["key_words"].dtype.name == "uint16"
+        for e in backend._tables.values()
+    )
+    ref = NumpyBackend().map_strand(codes, lens, g, ht, False, 5000, 6, pattern)
+    as_tup = lambda s: [(int(x), int(y), int(z)) for x, y, z in s]  # noqa: E731
+    bad = [i for i in range(len(ref)) if as_tup(ref[i]) != as_tup(got[i])]
+    assert not bad, f"{len(bad)} reads diverge, first: {bad[:5]}"

@@ -174,8 +174,14 @@ class JaxBackend:
         # genome could otherwise silently hit a stale entry).
         key = (id(genome), id(table), pattern.name)
         got = self._tables.get(key)
-        if got is not None and got[1]["key_words"].shape[-1] < n_key_words:
-            del self._tables[key]  # rebuild with the deeper key words
+        if got is not None:
+            kw_arr = got[1]["key_words"]
+            # stored word depth: (n, k) u32 stores k words; a 1-D u16
+            # prefix table (build_key16_device) counts as one word for the
+            # fast path but never satisfies the 3-word exact_b request
+            stored = kw_arr.shape[-1] if kw_arr.ndim == 2 else 1
+            if stored < n_key_words:
+                del self._tables[key]  # rebuild with the deeper key words
         if key not in self._tables:
             if self.mesh is not None:
                 from walt_tpu.parallel import (
@@ -201,8 +207,11 @@ class JaxBackend:
 
     # ---- HBM budgeting -------------------------------------------------
     #: bytes reserved for the mapping working set (read chunks, worklists,
-    #: gather windows, XLA scratch) on top of the resident tables
-    HBM_RESERVE = 2 << 30
+    #: gather windows, XLA scratch, allocator fragmentation) on top of the
+    #: resident tables.  Calibrated on the real v5e: 12.0 GB of resident
+    #: tables OOMed mid-mapping against a 2 GB reserve; 11.4 GB runs
+    #: reliably (walt_tpu/hbm_plan.py).
+    HBM_RESERVE = 3584 << 20
 
     def _hbm_budget(self) -> int | None:
         """Device memory budget in bytes, or None when unconstrained.
@@ -287,13 +296,21 @@ class JaxBackend:
         # and fall back to plain word-0 key words when it does not fit.
         uniq_max = None if free is None else free - base - dt.counter.nbytes
         uniq = None
+        # skip the count pass outright when even an optimistic run count
+        # (U = 0.75n; measured U/n is ~0.93 on repeat-heavy genomes) cannot
+        # fit -- saves ~90 s of device time per table on the key16 rung
+        skip_uniq = uniq_max is not None and 6 * n > uniq_max
+        if skip_uniq:
+            perf.note(f"table {genome.strand}: uniq cannot fit "
+                      f"{uniq_max / 2**30:.2f} GB, using key16 prefix table")
         try:
-            with perf.stage("table_uniq_build"):
-                perf.note(f"table {genome.strand}: uniq run index build")
-                uniq = build_uniq_device(
-                    dev["pseq"], dev["index"], dev["counter"], pattern,
-                    counter_np=dt.counter, max_bytes=uniq_max,
-                )
+            if not skip_uniq:
+                with perf.stage("table_uniq_build"):
+                    perf.note(f"table {genome.strand}: uniq run index build")
+                    uniq = build_uniq_device(
+                        dev["pseq"], dev["index"], dev["counter"], pattern,
+                        counter_np=dt.counter, max_bytes=uniq_max,
+                    )
         except Exception as e:  # RESOURCE_EXHAUSTED etc.: degrade
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
@@ -310,9 +327,12 @@ class JaxBackend:
         if need_kw >= 3 or (need_kw and not dt.uniq_bits):
             # packed lookup keys from the uploaded genome: saves the
             # 48-gather host pass and a 12-bytes/entry transfer.  The
-            # exact_b path (b below the verify slabs) needs all 3 words;
-            # a uniq-less table needs word 0 for the entry-space search.
-            kw_bytes = 4 * need_kw * n
+            # exact_b path (b below the verify slabs) needs all 3 u32
+            # words; a uniq-less fast-path table needs only the 16-bit
+            # word-0 prefix (the window cared check verifies the rest) --
+            # 2 bytes/entry instead of 4 (ops/device_index.
+            # build_key16_device).
+            kw_bytes = 4 * need_kw * n if need_kw >= 3 else 2 * n
             if free is not None and base + kw_bytes > free:
                 raise HbmBudgetError(
                     f"key words need {kw_bytes / 2**30:.2f} GB on top of "
@@ -320,11 +340,19 @@ class JaxBackend:
                     f"{budget / 2**30:.0f} GB (set WALTX_HBM_GB to override)"
                 )
             with perf.stage("table_key_words"):
-                perf.note(f"table {genome.strand}: building {need_kw}-word "
+                perf.note(f"table {genome.strand}: building "
+                          f"{'key16 prefix' if need_kw < 3 else '3-word'} "
                           f"key table ({kw_bytes / 2**30:.2f} GB)")
-                dev["key_words"] = build_key_words_device(
-                    dev["pseq"], dt.index, pattern, n_key_words=need_kw,
-                )
+                if need_kw >= 3:
+                    dev["key_words"] = build_key_words_device(
+                        dev["pseq"], dt.index, pattern, n_key_words=need_kw,
+                    )
+                else:
+                    from walt_tpu.ops.device_index import build_key16_device
+
+                    dev["key_words"] = build_key16_device(
+                        dev["pseq"], dt.index, pattern,
+                    )
         else:
             dev["key_words"] = jnp.zeros((1, 1), dtype=jnp.uint32)
         perf.note(f"table {genome.strand}: ready (uniq_bits={dt.uniq_bits})")

@@ -22,8 +22,14 @@ positions; reference.cpp:302-322 is the on-disk equivalent):
 - ``index``: 4n bytes -- tp-sharded
 - uniq run index: 8U + 67 MB, U = word-0 runs (U/n measured 0.93 on the
   512 Mbp repeat-structured bench genome; worst case 1.0) -- tp-sharded
-- packed key words: 4n (word 0 only) or 12n (full, only needed when
+- key16 prefix table: 2n (the top 8 cared bases of word 0; the window
+  cared check verifies the rest) or 12n full key words (only needed when
   -b < verify slab) -- tp-sharded; not needed when the uniq index is built
+
+The default reserve is 3.5 GB: a 768 Mbp config whose resident tables
+modeled 12.0 GB against a 2 GB reserve OOMed in practice on the real v5e
+(XLA program temporaries + allocator fragmentation), while 11.4 GB
+resident runs reliably.
 """
 
 from __future__ import annotations
@@ -51,7 +57,7 @@ class TablePlan:
 
 
 def table_bytes(genome_bp: int, uniq_ratio: float = 1.0):
-    """(base, uniq, key_word0) byte sizes for one table."""
+    """(base, uniq, key16) byte sizes for one table."""
     n = genome_bp
     pseq = n // 4 + 272  # + packed tail words
     counter = 4 * NB1
@@ -59,12 +65,12 @@ def table_bytes(genome_bp: int, uniq_ratio: float = 1.0):
     flagged = NB1 - 1
     base = pseq + counter + index + flagged
     uniq = int(8 * n * uniq_ratio) + 4 * NB1
-    kw0 = 4 * n
-    return base, uniq, kw0
+    kw16 = 2 * n
+    return base, uniq, kw16
 
 
 def plan_tables(genome_bp: int, n_tables: int = 2,
-                hbm_bytes: int = 16 << 30, reserve: int = 2 << 30,
+                hbm_bytes: int = 16 << 30, reserve: int = 3584 << 20,
                 uniq_ratio: float = 1.0, b_small: bool = False,
                 max_tp: int = 64) -> TablePlan:
     """Smallest tp width (power of two) that fits, preferring uniq.
@@ -72,25 +78,27 @@ def plan_tables(genome_bp: int, n_tables: int = 2,
     ``b_small``: the run uses -b below the verify slabs, so the exact_b
     path needs all 3 packed key words (12n/table) regardless of uniq.
     """
-    base, uniq, kw0 = table_bytes(genome_bp, uniq_ratio)
+    base, uniq, kw16 = table_bytes(genome_bp, uniq_ratio)
     budget = hbm_bytes - reserve
     pseq = genome_bp // 4 + 272
     repl = n_tables * pseq  # replicated on every shard
-    extra_kw = 3 * kw0 if b_small else 0
+    # -b below the verify slabs additionally needs the full 3-word (12n)
+    # key tables for the exact_b path
+    extra_kw = 12 * genome_bp if b_small else 0
 
     tp = 1
     while tp <= max_tp:
         shardable_uniq = n_tables * (base - pseq + uniq + extra_kw)
-        shardable_kw0 = n_tables * (base - pseq + kw0 + extra_kw)
+        shardable_kw16 = n_tables * (base - pseq + kw16 + extra_kw)
         per_chip_uniq = repl + shardable_uniq // tp
-        per_chip_kw0 = repl + shardable_kw0 // tp
+        per_chip_kw16 = repl + shardable_kw16 // tp
         if per_chip_uniq <= budget:
             return TablePlan(genome_bp, n_tables, tp, True, 3 if b_small else 0,
                              base, uniq, per_chip_uniq, hbm_bytes, reserve)
-        if per_chip_kw0 <= budget:
+        if per_chip_kw16 <= budget:
             return TablePlan(genome_bp, n_tables, tp, False,
-                             3 if b_small else 1, base, kw0,
-                             per_chip_kw0, hbm_bytes, reserve)
+                             3 if b_small else 1, base, kw16,
+                             per_chip_kw16, hbm_bytes, reserve)
         tp *= 2
     raise ValueError(
         f"{genome_bp} bp x {n_tables} tables does not fit {max_tp} shards"
@@ -101,7 +109,7 @@ def describe(plan: TablePlan) -> str:
     g = 1 << 30
     return (
         f"{plan.genome_bp / 1e9:.2f} Gbp x {plan.n_tables} tables: "
-        f"tp={plan.tp}, {'uniq run index' if plan.uniq else 'key word0'}, "
+        f"tp={plan.tp}, {'uniq run index' if plan.uniq else 'key16 prefix'}, "
         f"base {plan.per_table_base / g:.2f} GB + accel "
         f"{plan.per_table_accel / g:.2f} GB per table, "
         f"{plan.per_chip_bytes / g:.2f} GB/chip of "

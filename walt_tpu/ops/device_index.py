@@ -402,6 +402,56 @@ def build_uniq_device(pseq_dev, index_dev, counter_dev, pattern: SeedPattern,
             max(1, int(np.ceil(np.log2(mx + 1)))))
 
 
+def build_key16_device(pseq_dev, index_np: np.ndarray,
+                       pattern: SeedPattern, chunk: int = 1 << 23):
+    """(n,) uint16: the top 16 bits (8 cared bases) of lookup key word 0.
+
+    The fast-path lower-bound search only needs a sorted prefix to land at
+    the start of the refined run GROUP; equality of the remaining cared
+    positions is enforced from the verify window (pipeline's window cared
+    check), exactly as it already is for words 1-2.  Halves the dominant
+    per-entry HBM cost of the word-0 ladder rung (hg19: ~12 GB across the
+    SE tables).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from walt_tpu.ops import packing
+
+    kw = pattern.key_weight
+    offs = [int(pattern.cared[p]) for p in
+            range(kw, min(pattern.cared_size, kw + 8))]
+    n_win = (max(offs) >> 4) + 2 if offs else 1
+    n = index_np.shape[0]
+    if n == 0:
+        return jnp.zeros((0,), dtype=jnp.uint16)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def one_chunk(pseq, entries, out, base):
+        win = packing.window_cols(pseq, entries, n_win - 1)
+        acc = jnp.zeros(entries.shape, dtype=jnp.uint32)
+        for i in range(8):
+            acc = acc << jnp.uint32(2)
+            if i < len(offs):
+                off = offs[i]
+                acc = acc | (
+                    (win[off >> 4] >> jnp.uint32(30 - 2 * (off & 15))) & 3
+                )
+        i32 = jnp.arange(entries.shape[0], dtype=jnp.int32)
+        dest = jnp.where(base + i32 < n, base + i32, n)
+        return out.at[dest].set(acc.astype(jnp.uint16), mode="drop")
+
+    out = jnp.zeros((n,), dtype=jnp.uint16)
+    for a in range(0, n, chunk):
+        z = min(a + chunk, n)
+        ent = np.zeros(chunk, dtype=np.int32)
+        ent[: z - a] = index_np[a:z]
+        out = one_chunk(pseq_dev, jnp.asarray(ent), out, jnp.int32(a))
+    return out
+
+
 def build_key_words_device(pseq_dev, index_np: np.ndarray,
                            pattern: SeedPattern, chunk: int = 1 << 22,
                            n_key_words: int = N_KEY_WORDS):

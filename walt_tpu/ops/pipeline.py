@@ -234,7 +234,15 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     # fast path defers words beyond the first to the window cared check
     nprobe = npw if exact_b else 1
     run_len = None
-    if not use_uniq:
+    # 16-bit prefix keys (ops/device_index.build_key16_device): the stored
+    # key is the TOP 8 cared bases of word 0 only; the search lands at the
+    # refined run GROUP and the window cared check (below) verifies the
+    # rest -- half the per-entry HBM of u32 word-0 tables
+    key16 = (not use_uniq) and key_words.ndim == 1 \
+        and key_words.dtype == jnp.uint16
+    if key16 and exact_b:
+        raise ValueError("exact_b path needs full key words, not key16")
+    if not use_uniq and not key16:
         # the device table may carry fewer packed key words than the read
         # needs (word0-only tables halve per-entry HBM for default -b runs,
         # which never take the exact_b path); probing more words than stored
@@ -264,6 +272,23 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         for _ in range(search_bits):
             mid = (l + r) // 2
             ge = probe(mid)
+            active = l < r
+            r = jnp.where(active & ge, mid, r)
+            l = jnp.where(active & ~ge, mid + 1, l)
+        lower = l
+    elif key16:
+        kw16 = key_words
+        m16 = masks[0] >> jnp.uint32(16)
+        rw16 = rws[0] >> jnp.uint32(16)  # rws already masked
+
+        def probe16(mid):
+            e = jnp.take(kw16, mid, mode="clip").astype(jnp.uint32) & m16
+            return e >= rw16
+
+        l, r = lo, hi
+        for _ in range(search_bits):
+            mid = (l + r) // 2
+            ge = probe16(mid)
             active = l < r
             r = jnp.where(active & ge, mid, r)
             l = jnp.where(active & ~ge, mid + 1, l)
@@ -334,9 +359,13 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         slot = lower[:, :, None] + j[None, None, :]
         slotc = jnp.clip(slot, 0, n_entries - 1)
         refined = in_bucket
-        for kw_, m, rw in zip(kws[:nprobe], masks[:nprobe], rws[:nprobe]):
-            es = jnp.take(kw_, slotc) & m[:, :, None]
-            refined = refined & (es == rw[:, :, None])
+        if key16:
+            es = jnp.take(kw16, slotc).astype(jnp.uint32) & m16[:, :, None]
+            refined = refined & (es == rw16[:, :, None])
+        else:
+            for kw_, m, rw in zip(kws[:nprobe], masks[:nprobe], rws[:nprobe]):
+                es = jnp.take(kw_, slotc) & m[:, :, None]
+                refined = refined & (es == rw[:, :, None])
 
         refined_cnt = jnp.sum(refined, axis=-1, dtype=jnp.int32)  # (B, S)
         # seed skipped entirely (mapping.cpp:275-277)
@@ -445,18 +474,20 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     if stage_out == "verify":
         return jnp.sum(mm) + jnp.sum(wl_keep)
 
-    if not exact_b and npw > 1:
+    if not exact_b and (npw > 1 or key16):
         # Window cared check: a fast-path worklist row is only known to
-        # match the read on the hash key + the first packed key word; the
-        # reference's refined region additionally requires equality at the
-        # remaining cared positions kw+16..seed_len-1 (mapping.cpp:198-222).
+        # match the read on the hash key + the first packed key word (or
+        # its 16-bit prefix on key16 tables); the reference's refined
+        # region additionally requires equality at the remaining cared
+        # positions kw+16 (key16: kw+8) ..seed_len-1 (mapping.cpp:198-222).
         # Those bases sit inside the verify window already in registers, so
         # the check is an AND of the existing XOR-fold against (a) a static
         # per-shift cared-lane mask and (b) a per-row cutoff mask at
         # cared[seed_len] -- no extra HBM traffic.
+        check_from = kw + 8 if key16 else kw + 16
         cared_np = np.zeros((S, W), dtype=np.uint32)
         for si, s in enumerate(seeds):
-            for jj in range(kw + 16, n_cared):
+            for jj in range(check_from, n_cared):
                 p = int(cared[jj]) + s
                 if p < Lmax:
                     cared_np[si, p // 16] |= np.uint32(1) << np.uint32(
