@@ -116,7 +116,7 @@ def make_mesh(devices=None, tp: int | None = None) -> Mesh:
 _MAX_SHIFT = 8  # seed shifts are < pattern_len <= 7 for patterns 3/5/7
 
 
-def _merge_tp(cs, cp, cm, fb, cand_slab: int):
+def _merge_tp(cs, cp, cm, fb, cand_slab: int, n_seeds: int = _MAX_SHIFT):
     """Merge per-tp-shard candidate slabs back into reference order.
 
     Inside a shard_map body with a 'tp' axis: all_gather the (B_l, C) slabs
@@ -141,9 +141,9 @@ def _merge_tp(cs, cp, cm, fb, cand_slab: int):
     Bl = cs.shape[0]
     C = cand_slab
     valid = cs_g >= 0  # (T, Bl, C)
-    seeds = jnp.clip(cs_g.astype(jnp.int32), 0, _MAX_SHIFT - 1)
+    seeds = jnp.clip(cs_g.astype(jnp.int32), 0, n_seeds - 1)
     onehot = (
-        (jnp.arange(_MAX_SHIFT, dtype=jnp.int32)[None, None, None, :]
+        (jnp.arange(n_seeds, dtype=jnp.int32)[None, None, None, :]
          == seeds[..., None])
         & valid[..., None]
     )
@@ -214,7 +214,10 @@ def map_strand_sharded(preads, lens, b, max_mm, key_base, counter, index,
             uniq_off=uniq_off[0] if have_uniq else None,
             uniq_bits=uniq_bits, full_mask=full_mask,
         )
-        return _merge_tp(cs, cp, cm, fb, cand_slab)
+        from walt_tpu.constants import get_pattern
+
+        return _merge_tp(cs, cp, cm, fb, cand_slab,
+                         get_pattern(pattern_name).pattern_len)
 
     uspec = P("tp") if have_uniq else P()
     return jax.shard_map(
@@ -314,8 +317,8 @@ def map_single_end_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
                 exact_b=exact_b, uniq_bits=ubits, full_mask=full_mask,
                 **_uniq_kw(t),
             )
-            m_seed, m_pos, m_mm, _, fb_any = _merge_tp(cs, cp, cm, fb,
-                                                       cand_slab)
+            m_seed, m_pos, m_mm, _, fb_any = _merge_tp(
+                cs, cp, cm, fb, cand_slab, pattern.pattern_len)
             slabs.append((m_seed, m_pos, m_mm))
             fallback = fb_any if fallback is None else (fallback | fb_any)
         pos, times, minus, mm = se_fold.se_fold(slabs, max_mm, pattern)
@@ -356,7 +359,10 @@ def map_mate_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
     of flat_factor * (B/dp) rows each, read-major within a segment; the
     host unpacks per segment (jax_backend.map_mate_slabs).
     """
+    from walt_tpu.constants import get_pattern
     from walt_tpu.ops import pe_map
+
+    pattern = get_pattern(pattern_name)
 
     def body(preads, lens, b, max_mm, tables):
         slabs = []
@@ -372,8 +378,8 @@ def map_mate_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
                 exact_b=exact_b, uniq_bits=ubits, full_mask=full_mask,
                 **_uniq_kw(t),
             )
-            m_seed, m_pos, m_mm, _, fb_any = _merge_tp(cs, cp, cm, fb,
-                                                       cand_slab)
+            m_seed, m_pos, m_mm, _, fb_any = _merge_tp(
+                cs, cp, cm, fb, cand_slab, pattern.pattern_len)
             slabs.append((m_seed, m_pos, m_mm))
             fallback = fb_any if fallback is None else (fallback | fb_any)
         return pe_map.flat_compact(slabs, fallback, flat_factor)
