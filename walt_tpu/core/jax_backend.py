@@ -116,6 +116,9 @@ class JaxBackend:
         With a mesh, every batch runs through the sharded multi-chip
         pipeline (walt_tpu.parallel.sharded) -- the production replacement
         for the reference's OpenMP read fan-out (mapping.cpp:477-499)."""
+        import os
+
+        chunk = int(os.environ.get("WALTX_CHUNK", chunk))
         self.chunk = chunk
         self.small_chunk = small_chunk
         self.len_pad = len_pad
@@ -531,14 +534,16 @@ class JaxBackend:
         # driver replays fallbacks concurrently with the next batch's
         # device time (core/single_end.py pipeline), so a few hundred reads
         # ride along for free.  Flagged-bucket fallbacks end up on the host
-        # either way.  When the NATIVE exact enumerator is available the
-        # host path is ~100x cheaper per read than a tier-2 device re-run's
-        # amortized cost (its worklist scales as wl_factor x chunk while
-        # real survivors are one long run), so every overflow read goes
-        # straight there.
+        # either way.  With the NATIVE exact enumerator available, the
+        # crossover sits around ~1/8 of the batch (~47k reads/s host vs a
+        # tier-2 device re-run; measured se_xl_768M: 39.5% overflow made
+        # the host replay the critical path at 16.8 s per 2M reads), so
+        # small overflow sets go straight to the host and only
+        # repeat-heavy workloads escalate on device.
         from walt_tpu import native as _native
 
-        if _native.get_lib() is not None:
+        have_native = _native.get_lib() is not None
+        if have_native and (n == 0 or fb.mean() < 0.125):
             self.total_reads += n
             self.fallback_reads += int(fb.sum())
             return pos, times, minus, mm, fb
@@ -549,10 +554,11 @@ class JaxBackend:
                       wl_factor=3 * self.verify_slab))
             # Tier 3: highly repetitive reads (runs up to 512, e.g.
             # transposon prefixes); small chunks keep the padded work
-            # bounded.  Whatever still falls back (flagged buckets, runs >
-            # 512) is for the host.
+            # bounded, but the many small dispatches only beat the host
+            # replay when there IS no native replay.  Whatever still falls
+            # back (flagged buckets, runs > 512) is for the host.
             todo = np.flatnonzero(fb)
-            if todo.size > max(256, n // 128):
+            if not have_native and todo.size > max(256, n // 128):
                 merge(out, todo,
                       run(codes[todo], lens[todo], None, 512, cand_slab=512,
                           chunk=256, wl_factor=3 * 512))
