@@ -300,9 +300,9 @@ class JaxBackend:
         uniq_max = None if free is None else free - base - dt.counter.nbytes
         uniq = None
         # skip the count pass outright when even an optimistic run count
-        # (U = 0.75n; measured U/n is ~0.93 on repeat-heavy genomes) cannot
+        # (U = 0.875n; measured U/n is ~0.93 on repeat-heavy genomes) cannot
         # fit -- saves ~90 s of device time per table on the key16 rung
-        skip_uniq = uniq_max is not None and 6 * n > uniq_max
+        skip_uniq = uniq_max is not None and 7 * n > uniq_max
         if skip_uniq:
             perf.note(f"table {genome.strand}: uniq cannot fit "
                       f"{uniq_max / 2**30:.2f} GB, using key16 prefix table")
@@ -527,31 +527,34 @@ class JaxBackend:
             # dense-candidate workload: widen future batches' worklists
             self._wl1 = pipeline.WL_FACTOR
         # Tier 2: larger verify slab for reads whose refined run (or
-        # worklist share) overflowed tier 1.  When the overflow set is small
-        # it is CHEAPER to leave it flagged for the driver's exact host
-        # replay: each tier round costs a dispatch+fetch round trip plus a
-        # padded device chunk on the batch's critical path, while the
-        # driver replays fallbacks concurrently with the next batch's
-        # device time (core/single_end.py pipeline), so a few hundred reads
-        # ride along for free.  Flagged-bucket fallbacks end up on the host
-        # either way.  With the NATIVE exact enumerator available, the
-        # crossover sits around ~1/8 of the batch (~47k reads/s host vs a
-        # tier-2 device re-run; measured se_xl_768M: 39.5% overflow made
-        # the host replay the critical path at 16.8 s per 2M reads), so
-        # small overflow sets go straight to the host and only
-        # repeat-heavy workloads escalate on device.
+        # worklist share) overflowed tier 1.  When the NATIVE exact
+        # enumerator is available, EVERY overflow read goes straight to the
+        # host replay -- measured twice on the real chip (round 3), the
+        # host wins even at extreme overflow rates: se_xl_768M with 39.5%
+        # overflow mapped at 117k reads/s on the host path, while a tier-2
+        # device re-run of the same workload (slab 64, wl 192, 8k chunks)
+        # collapsed to 16k reads/s -- each tier chunk pays a dispatch round
+        # trip plus a padded worklist program, ON the critical path, while
+        # the driver replays host fallbacks concurrently with the next
+        # batch's device time (core/single_end.py pipeline).  The tiers
+        # below only run when there is no native library (the pure-Python
+        # replay really is slower than device re-runs).
         from walt_tpu import native as _native
 
         have_native = _native.get_lib() is not None
-        if have_native and (n == 0 or fb.mean() < 0.125):
+        if have_native:
             self.total_reads += n
             self.fallback_reads += int(fb.sum())
             return pos, times, minus, mm, fb
         todo = np.flatnonzero(fb)
         if todo.size > max(256, n // 128):
+            # chunk bounded so the worklist (wl_factor x chunk rows) keeps
+            # the tier-2 program's HLO temps ~100 MB: at full 131k chunks
+            # the 25M-row window machinery compiled to a 12 GB temp (XLA
+            # pads degenerate-dim iotas 16x) and OOMed at compile time
             merge(out, todo,
                   run(codes[todo], lens[todo], None, self.verify_slab,
-                      wl_factor=3 * self.verify_slab))
+                      chunk=8192, wl_factor=3 * self.verify_slab))
             # Tier 3: highly repetitive reads (runs up to 512, e.g.
             # transposon prefixes); small chunks keep the padded work
             # bounded, but the many small dispatches only beat the host
