@@ -140,3 +140,31 @@ def test_shard_device_table_roundtrip():
         n = int(st.counter[s][-1])
         rebuilt.append(st.index[s][:n])
     np.testing.assert_array_equal(np.concatenate(rebuilt), dt.index)
+
+
+def test_pe_mate_sharded_matches_single_device(mesh8):
+    """The fused PE mate program (map_mate_sharded) through the production
+    backend decode equals the single-device backend's slab streams."""
+    from walt_tpu.constants import get_pattern
+    from walt_tpu.core.jax_backend import JaxBackend
+    from walt_tpu.index.build import build_table
+    from walt_tpu.synth import make_genome, sample_reads
+
+    pattern = get_pattern("3")
+    genome = make_genome(120_000, n_chroms=2, seed=9)
+    tables = [build_table(genome, conv, pattern, verbose=False)
+              for conv in ("GA10", "GA11")]
+    codes, lens, _ = sample_reads(genome, 64, 80, seed=11)
+
+    sharded = JaxBackend(mesh=mesh8)
+    single = JaxBackend()
+    st, fb = sharded.map_mate_slabs(codes, lens, tables, True, 5000, 6,
+                                    pattern)
+    ss, sfb = single.map_mate_slabs(codes, lens, tables, True, 5000, 6,
+                                    pattern)
+    ok = ~(fb | sfb)
+    assert ok.sum() >= len(lens) - 2
+    for a, b in zip(st, ss):
+        assert np.array_equal(a["cnt"][ok], b["cnt"][ok])
+        for k in ("seed", "pos", "mm"):
+            assert np.array_equal(a[k][ok], b[k][ok]), k
