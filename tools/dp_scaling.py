@@ -228,7 +228,8 @@ def tp_cost(tables, codes, lens, pattern, n_reads):
                 out_specs=(P("tp"),) * 5, check_vma=False,
             )
             def merge_only(cs, cp, cm, fb):
-                return _merge_tp(cs, cp, cm, fb, C)
+                # same n_seeds the production step passes (pattern_len)
+                return _merge_tp(cs, cp, cm, fb, C, pattern.pattern_len)
 
             merge_fn = jax.jit(merge_only)
             jax.block_until_ready(merge_fn(cs, cp, cm, fb))

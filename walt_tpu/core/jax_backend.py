@@ -136,6 +136,11 @@ class JaxBackend:
         self._dp = int(mesh.shape["dp"]) if mesh is not None else 1
         self._tp = int(mesh.shape["tp"]) if mesh is not None else 1
         self._tables = {}
+        #: table keys whose build already failed the HBM budget; the
+        #: failure is deterministic, so later batches short-circuit instead
+        #: of repeating upload/build work before re-raising.  Values pin the
+        #: (genome, table) objects so the id()-based key cannot be reused.
+        self._failed_tables = {}
         #: how many tables the current run will keep resident (2 SE, 4 PE);
         #: the HBM budget ladder splits the free budget evenly across the
         #: tables not yet built so early tables cannot starve later ones
@@ -186,6 +191,10 @@ class JaxBackend:
             if stored < n_key_words:
                 del self._tables[key]  # rebuild with the deeper key words
         if key not in self._tables:
+            if key in self._failed_tables:
+                raise HbmBudgetError(
+                    "table build already failed the HBM budget this run"
+                )
             if self.mesh is not None:
                 from walt_tpu.parallel import (
                     place_sharded_table, shard_device_table,
@@ -198,15 +207,20 @@ class JaxBackend:
                 dt.uniq_bits = st.uniq_bits
                 dt.key_words = None  # free the host copy (3x index bytes)
             else:
-                dt, dev = self._build_single_device_table(
-                    genome, table, pattern, n_key_words
-                )
+                try:
+                    dt, dev = self._build_single_device_table(
+                        genome, table, pattern, n_key_words
+                    )
+                except HbmBudgetError:
+                    self._failed_tables[key] = (genome, table)
+                    raise
             self._tables[key] = (dt, dev, genome, table)
         return self._tables[key][:2]
 
     def free_tables(self):
         """Drop every cached device table (and its HBM) explicitly."""
         self._tables.clear()
+        self._failed_tables.clear()
 
     # ---- HBM budgeting -------------------------------------------------
     #: bytes reserved for the mapping working set (read chunks, worklists,
@@ -263,17 +277,17 @@ class JaxBackend:
         )
 
         budget = self._hbm_budget()
-        with perf.stage("table_host_prep"):
-            perf.note(f"table {genome.strand}: host prep "
-                      f"({table.index.nbytes / 2**30:.2f} GB index)")
-            dt = build_device_table(genome, table, pattern)
-        base = (dt.pseq.nbytes + dt.counter.nbytes + dt.index.nbytes
-                + dt.start_index.nbytes + dt.bucket_flagged.nbytes)
         free = (None if budget is None
                 else budget - self.HBM_RESERVE - self._resident_bytes())
         if free is not None and self.table_budget_hint:
             remaining = max(1, self.table_budget_hint - len(self._tables))
             free = free // remaining
+        # the base footprint is computable from the raw table -- check it
+        # BEFORE the host prep so a deterministic over-budget failure costs
+        # nothing and every subsequent batch short-circuits instantly
+        nb1 = int(table.counter.shape[0])
+        base = (len(genome.seq) // 4 + 268 + 4 * nb1 + table.index.nbytes
+                + genome.start_index.nbytes + (nb1 - 1))
         if free is not None and base > free:
             raise HbmBudgetError(
                 f"table needs {base / 2**30:.2f} GB but only "
@@ -281,6 +295,12 @@ class JaxBackend:
                 f"{budget / 2**30:.0f} GB HBM budget is free "
                 f"(set WALTX_HBM_GB to override)"
             )
+        with perf.stage("table_host_prep"):
+            perf.note(f"table {genome.strand}: host prep "
+                      f"({table.index.nbytes / 2**30:.2f} GB index)")
+            dt = build_device_table(genome, table, pattern)
+        base = (dt.pseq.nbytes + dt.counter.nbytes + dt.index.nbytes
+                + dt.start_index.nbytes + dt.bucket_flagged.nbytes)
         with perf.stage("table_upload"):
             perf.note(f"table {genome.strand}: uploading "
                       f"{base / 2**30:.2f} GB to device")
@@ -315,12 +335,18 @@ class JaxBackend:
                         counter_np=dt.counter, max_bytes=uniq_max,
                     )
         except Exception as e:  # RESOURCE_EXHAUSTED etc.: degrade
-            if "RESOURCE_EXHAUSTED" not in str(e):
+            from walt_tpu.core.errors import is_oom_error
+
+            if not is_oom_error(e):
                 raise
             perf.note(f"table {genome.strand}: uniq build OOM, degrading")
+        uniq_bytes = 0
         if uniq is not None:
             (dev["uniq_words"], dev["uniq_off"], dev["uniq_counter"],
              dt.uniq_bits) = uniq
+            uniq_bytes = sum(
+                int(np.prod(a.shape)) * a.dtype.itemsize for a in uniq[:3]
+            )
         else:
             dt.uniq_bits = 0
             dev["uniq_words"] = jnp.zeros((1,), dtype=jnp.uint32)
@@ -336,11 +362,12 @@ class JaxBackend:
             # 2 bytes/entry instead of 4 (ops/device_index.
             # build_key16_device).
             kw_bytes = 4 * need_kw * n if need_kw >= 3 else 2 * n
-            if free is not None and base + kw_bytes > free:
+            if free is not None and base + uniq_bytes + kw_bytes > free:
                 raise HbmBudgetError(
                     f"key words need {kw_bytes / 2**30:.2f} GB on top of "
-                    f"{base / 2**30:.2f} GB of tables; budget is "
-                    f"{budget / 2**30:.0f} GB (set WALTX_HBM_GB to override)"
+                    f"{(base + uniq_bytes) / 2**30:.2f} GB of tables; "
+                    f"budget is {budget / 2**30:.0f} GB "
+                    f"(set WALTX_HBM_GB to override)"
                 )
             with perf.stage("table_key_words"):
                 perf.note(f"table {genome.strand}: building "
@@ -557,11 +584,11 @@ class JaxBackend:
                       chunk=8192, wl_factor=3 * self.verify_slab))
             # Tier 3: highly repetitive reads (runs up to 512, e.g.
             # transposon prefixes); small chunks keep the padded work
-            # bounded, but the many small dispatches only beat the host
-            # replay when there IS no native replay.  Whatever still falls
-            # back (flagged buckets, runs > 512) is for the host.
+            # bounded.  Whatever still falls back (flagged buckets, runs >
+            # 512) is for the host.  (Only reachable without the native
+            # library -- the have_native early-return above.)
             todo = np.flatnonzero(fb)
-            if not have_native and todo.size > max(256, n // 128):
+            if todo.size > max(256, n // 128):
                 merge(out, todo,
                       run(codes[todo], lens[todo], None, 512, cand_slab=512,
                           chunk=256, wl_factor=3 * 512))
@@ -630,7 +657,11 @@ class JaxBackend:
             return out
 
         out = run(codes, lens, self.verify_slab_t1)
-        for slab, chunk in ((self.verify_slab, None), (512, 256)):
+        # chunks bounded so the tier worklists (wl_factor x chunk rows)
+        # keep HLO temps small -- at full-size chunks the 25M-row window
+        # machinery compiled to a 12 GB padded temp and OOMed (see
+        # map_single_end's tier comment)
+        for slab, chunk in ((self.verify_slab, 8192), (512, 256)):
             todo = np.flatnonzero(out[4])
             if not todo.size:
                 break

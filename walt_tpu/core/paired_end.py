@@ -469,10 +469,32 @@ def process_paired_end(index_file: str, reads_file_1: str, reads_file_2: str,
                     mate_stat.num_of_short += int(
                         np.sum(lens < pattern.min_read_len)
                     )
-                    per_read = backend.map_strand(
-                        codes, lens, g, ht, ag_wildcard, b, max_mismatches,
-                        pattern,
-                    )
+                    try:
+                        per_read = backend.map_strand(
+                            codes, lens, g, ht, ag_wildcard, b,
+                            max_mismatches, pattern,
+                        )
+                    except Exception as e:
+                        from walt_tpu.core.errors import is_oom_error
+
+                        if not is_oom_error(e):
+                            raise
+                        # device HBM exhausted: enumerate this strand on
+                        # the exact host path (byte-identical) and go on
+                        print(f"[waltx] device OOM, host-enumerating "
+                              f"{len(batch)} reads: {e}", file=sys.stderr)
+                        from walt_tpu.core import refmap
+
+                        seq_padded = refmap.padded_seq(g, pattern)
+                        per_read = [
+                            list(refmap.enumerate_candidates(
+                                codes[j, : int(lens[j])], g, ht,
+                                ag_wildcard, b, max_mismatches, pattern,
+                                seq_padded=seq_padded,
+                            ))
+                            if int(lens[j]) >= pattern.min_read_len else []
+                            for j in range(len(batch))
+                        ]
                     streams.append((strand, per_read))
                 ranked[pi] = [
                     replay_paired_topk(

@@ -365,7 +365,7 @@ def csr_build(seq, chrom_start, cared, key_weight, min_seed_len,
     Returns (counter (nb+1,) u32, index (n,) u32, erased_keys (k,) int64) or
     None when the library is unavailable.  O(n) memory -- no key array, no
     argsort temporaries -- and the fill preserves position-ascending order
-    within buckets via per-range base offsets (see indexbuild.cpp).
+    within buckets via per-slot base offsets (see indexbuild.cpp).
     """
     import numpy as np
 
