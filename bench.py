@@ -15,6 +15,8 @@ on-device fold / native PE finalize -> host fallback replay -> MR emission):
   the SE one: index + key word0 + packed genome per table).
 - se_small: the round-1 config (4 Mbp uniform genome, 200k reads) kept for
   cross-round continuity.
+- se_xl: 768 Mbp, the largest genome one v5e holds (walt_tpu.hbm_plan):
+  both strand tables ride the 16-bit-prefix key ladder rung at ~9.1 GB.
 
 Baselines (BASELINE.md): the reference maps 50M x ~100bp reads (hg19) SE in
 0.71 h = ~19.6k reads/s, PE in 2.43 h = ~5.7k pairs/s, on one 2.4 GHz Xeon
