@@ -22,12 +22,22 @@ Baselines (BASELINE.md): the reference maps 50M x ~100bp reads (hg19) SE in
 0.71 h = ~19.6k reads/s, PE in 2.43 h = ~5.7k pairs/s, on one 2.4 GHz Xeon
 thread.  vs_baseline is measured/against-those.
 
-Robustness (round-2 verdict next #1): every phase prints a timestamped
-progress line to stderr, each config runs under a try/except that records
-the failure and moves on, and a soft wall-clock budget
-(WALTX_BENCH_BUDGET_S, default 5100 s) skips remaining configs when
-exceeded.  The single stdout JSON line reports the highest-priority config
-that succeeded.
+Robustness (round-2 verdict next #1, round-3 verdict next #1): every phase
+prints a timestamped progress line to stderr, each config runs under a
+try/except that records the failure and moves on, and a soft wall-clock
+budget (WALTX_BENCH_BUDGET_S, default 1650 s -- what the round-3 driver
+window actually granted) skips a config PREDICTIVELY when the elapsed time
+plus that config's estimated cost (est_s, calibrated from warm-cache
+round-3 runs) would overrun it.  The headline stdout JSON line (highest-
+priority config that succeeded) is re-printed after every config so the
+LAST parseable stdout line is always the headline, and per-config detail
+JSON goes to stderr behind a "detail " prefix so it can never be parsed as
+the round's metric.
+
+Prepared genome/index caches live in a repo-local ``bench_cache/``
+directory (gitignored; override with WALTX_BENCH_CACHE) so driver runs
+inherit them; pre-existing /tmp/waltx_bench* caches from earlier rounds are
+adopted by hardlink (same filesystem, zero copy cost).
 """
 
 from __future__ import annotations
@@ -44,12 +54,41 @@ os.environ.setdefault("WALTX_PROGRESS", "1")
 BASE_SE = 50_000_000 / (0.71 * 3600)  # Table S6, SRR1532534 SE
 BASE_PE = 50_000_000 / (2.43 * 3600)  # Table S7, SRR1532534 PE
 
-CACHE = "/tmp/waltx_bench"
-CACHE_LARGE = "/tmp/waltx_bench_large"
-CACHE_PE = "/tmp/waltx_bench_pe"
+_HERE = os.path.dirname(os.path.abspath(__file__))
+CACHE_ROOT = os.environ.get(
+    "WALTX_BENCH_CACHE", os.path.join(_HERE, "bench_cache")
+)
+
+
+def _cache_dir(name: str, legacy: str) -> str:
+    """Repo-local cache dir for one config, adopting a legacy /tmp cache.
+
+    The driver bench runs cold in a fresh process but on the same
+    filesystem; hardlinking the multi-GB index files costs nothing and
+    makes the prepared artifacts survive /tmp cleanup policies.
+    """
+    d = os.path.join(CACHE_ROOT, name)
+    if not os.path.isdir(d) and os.path.isdir(legacy):
+        os.makedirs(d, exist_ok=True)
+        for f in os.listdir(legacy):
+            src, dst = os.path.join(legacy, f), os.path.join(d, f)
+            if not os.path.exists(dst):
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    import shutil
+
+                    shutil.copy2(src, dst)
+    return d
+
+
+CACHE = _cache_dir("se_small", "/tmp/waltx_bench")
+CACHE_LARGE = _cache_dir("se_large", "/tmp/waltx_bench_large")
+CACHE_PE = _cache_dir("pe_mid", "/tmp/waltx_bench_pe")
+CACHE_XL = _cache_dir("se_xl", "/tmp/waltx_bench_xl")
 
 T_START = time.monotonic()
-BUDGET_S = float(os.environ.get("WALTX_BENCH_BUDGET_S", "5100"))
+BUDGET_S = float(os.environ.get("WALTX_BENCH_BUDGET_S", "1650"))
 
 
 def _note(msg: str):
@@ -222,53 +261,63 @@ def main() -> int:
 
     configs = [
         # repeats=4: run-to-run spread on this shared tunnel/VM is ~±10%
-        # (observed 117-140k reads/s across one day); best-of-4 tightens it
+        # (observed 117-140k reads/s across one day); best-of-4 tightens it.
+        # est_s: warm-cache wall cost (warmup + timing) from round-3 runs,
+        # used by the predictive budget skip below.
         dict(name="se_large_512M", cache=CACHE_LARGE, n_bases=512_000_000,
              n_reads=2_000_000, read_len=100, repetitive=True, paired=False,
-             batch=500_000, repeats=4),
+             batch=500_000, repeats=4, est_s=1000),
         dict(name="pe_mid_256M", cache=CACHE_PE, n_bases=256_000_000,
              n_reads=300_000, read_len=100, repetitive=True, paired=True,
-             batch=150_000),
+             batch=150_000, est_s=600),
+        # n=1M so the timed region is ~4 s: the round-3 n=200k runs timed a
+        # 0.8 s region whose best-of-3 spread was 0.82-1.51 s (pure noise)
         dict(name="se_small_4M", cache=CACHE, n_bases=4_000_000,
-             n_reads=200_000, read_len=100, repetitive=False, paired=False,
-             batch=65_536),
+             n_reads=1_000_000, read_len=100, repetitive=False, paired=False,
+             batch=500_000, est_s=250),
         # largest single-chip config (walt_tpu.hbm_plan: 768 Mbp x 2 tables
         # ride the word-0 ladder rung at ~12 GB/chip; 1 Gbp needs tp=2).
         # Listed last so the wall-clock budget guard protects the headline.
-        dict(name="se_xl_768M", cache="/tmp/waltx_bench_xl",
+        dict(name="se_xl_768M", cache=CACHE_XL,
              n_bases=768_000_000, n_reads=2_000_000, read_len=100,
-             repetitive=True, paired=False, batch=500_000, repeats=2),
+             repetitive=True, paired=False, batch=500_000, repeats=2,
+             est_s=900),
     ]
+    headline = None
     for cfg in configs:
+        est = cfg.pop("est_s", 0)
         if only and only != cfg["name"]:
             continue
         elapsed = time.monotonic() - T_START
-        if details and elapsed > BUDGET_S:
-            _note(f"budget exceeded ({elapsed:.0f}s > {BUDGET_S:.0f}s); "
-                  f"skipping {cfg['name']}")
+        if details and elapsed + est > BUDGET_S:
+            _note(f"budget: {elapsed:.0f}s elapsed + ~{est}s estimated > "
+                  f"{BUDGET_S:.0f}s; skipping {cfg['name']}")
             failures.append({"config": cfg["name"], "error": "skipped: budget"})
             continue
         _note(f"=== config {cfg['name']} ===")
         try:
             d = _bench_config(**cfg)
             details.append(d)
-            print(json.dumps(d), file=sys.stderr, flush=True)
-            if len(details) == 1:
-                # emit the headline line as soon as the first (highest-
-                # priority) config lands, so an external kill during a
-                # later config cannot lose the round's number
-                print(json.dumps({
+            # stderr detail behind a prefix: must never parse as the metric
+            _note("detail " + json.dumps(d))
+            if headline is None:
+                headline = json.dumps({
                     "metric": (f"{d['config']}_"
                                f"{d['unit'].replace('/', '_per_')}_1chip"),
                     "value": d["value"],
                     "unit": d["unit"],
                     "vs_baseline": d["vs_baseline"],
-                }), flush=True)
+                })
         except Exception as e:
             _note(f"{cfg['name']} FAILED: {e!r}")
             traceback.print_exc()
             failures.append({"config": cfg["name"], "error": repr(e)[:500]})
             _free_host_caches()
+        if headline is not None:
+            # (re-)emit the headline after EVERY config: an external kill
+            # during a later config cannot lose the round's number, and the
+            # last parseable stdout line is always the headline
+            print(headline, flush=True)
 
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
@@ -299,7 +348,7 @@ def main() -> int:
             "vs_baseline": 0, "error": (failures or [{}])[0].get("error", ""),
         }))
         return 1
-    # headline already printed right after the first config completed
+    print(headline, flush=True)  # final stdout line is always the headline
     return 0
 
 

@@ -59,9 +59,12 @@ def test_headline_is_first_success_and_prints_early(monkeypatch, capsys,
     }
     rc, out, _ = _run_main(monkeypatch, capsys, results, tmp_path=tmp_path)
     assert rc == 0
-    assert len(out) == 1  # exactly ONE stdout JSON line
-    assert out[0]["metric"] == "se_large_512M_reads_per_s_1chip"
-    assert out[0]["value"] == 140000.0
+    # the headline is re-printed after every config (kill-safety) and once
+    # at the end -- every stdout JSON line must BE the headline, so the
+    # driver's last-line parse always lands on it
+    assert out and all(o == out[0] for o in out)
+    assert out[-1]["metric"] == "se_large_512M_reads_per_s_1chip"
+    assert out[-1]["value"] == 140000.0
 
 
 def test_failed_headline_falls_through_to_next_config(monkeypatch, capsys,
@@ -74,7 +77,7 @@ def test_failed_headline_falls_through_to_next_config(monkeypatch, capsys,
     }
     rc, out, err = _run_main(monkeypatch, capsys, results, tmp_path=tmp_path)
     assert rc == 0  # one config failing does not fail the bench
-    assert out[0]["metric"] == "pe_mid_256M_pairs_per_s_1chip"
+    assert out[-1]["metric"] == "pe_mid_256M_pairs_per_s_1chip"
     assert "FAILED" in err
 
 
@@ -83,7 +86,7 @@ def test_all_failed_reports_nonzero(monkeypatch, capsys, tmp_path):
                ("se_large_512M", "pe_mid_256M", "se_small_4M", "se_xl_768M")}
     rc, out, _ = _run_main(monkeypatch, capsys, results, tmp_path=tmp_path)
     assert rc == 1
-    assert out[0]["metric"] == "bench_failed"
+    assert out[-1]["metric"] == "bench_failed"
 
 
 def test_budget_skips_remaining_configs(monkeypatch, capsys, tmp_path):
@@ -113,4 +116,21 @@ def test_budget_skips_remaining_configs(monkeypatch, capsys, tmp_path):
     assert calls == ["se_large_512M"]  # later configs skipped
     assert "skipping" in cap.err
     out = [json.loads(line) for line in cap.out.splitlines() if line.strip()]
-    assert out[0]["metric"] == "se_large_512M_reads_per_s_1chip"
+    assert out[-1]["metric"] == "se_large_512M_reads_per_s_1chip"
+
+
+def test_detail_lines_are_not_parseable_json(monkeypatch, capsys, tmp_path):
+    """Per-config detail must not be a bare JSON line anywhere: the round-3
+    driver parsed the LAST JSON-looking line of merged output and recorded
+    a detail dict instead of the headline (BENCH_r03.json)."""
+    results = {
+        "se_large_512M": _detail("se_large_512M", 140000.0),
+        "pe_mid_256M": _detail("pe_mid_256M", 50000.0, "pairs/s"),
+        "se_small_4M": _detail("se_small_4M", 250000.0),
+        "se_xl_768M": _detail("se_xl_768M", 110000.0),
+    }
+    rc, out, err = _run_main(monkeypatch, capsys, results, tmp_path=tmp_path)
+    assert rc == 0
+    for line in err.splitlines():
+        assert not line.lstrip().startswith("{")
+    assert out[-1]["metric"] == "se_large_512M_reads_per_s_1chip"
