@@ -68,6 +68,70 @@ def test_sharded_matches_single_device(mesh8):
     assert int(ref[3][ok].sum()) > 0
 
 
+def test_sharded_key16_matches_single_device(mesh8):
+    """key16-accel tp shards (the hg19 HBM rung, hbm_plan.plan_tables)
+    produce the same candidate streams as the unsharded pipeline."""
+    import jax.numpy as jnp
+
+    from walt_tpu.constants import get_pattern
+    from walt_tpu.ops import pipeline
+    from walt_tpu.ops.packing import pack_codes_np
+    from walt_tpu.parallel import map_strand_sharded, shard_device_table
+    from walt_tpu.synth import build_synthetic_table, sample_reads
+
+    genome, conv_genome, table, dt = build_synthetic_table(120_000, seed=3)
+    codes, lens, _ = sample_reads(genome, 64, 80, seed=5)
+    B, L = 64, 96
+    padded = np.zeros((B, L), dtype=np.uint8)
+    padded[:, : codes.shape[1]] = codes
+    padded = pack_codes_np(padded)
+
+    ref = [
+        np.asarray(x)
+        for x in pipeline.map_strand_device(
+            jnp.asarray(padded), jnp.asarray(lens), jnp.int32(5000),
+            jnp.int32(6), jnp.asarray(dt.pseq), jnp.asarray(dt.counter),
+            jnp.asarray(dt.index), jnp.asarray(dt.key_words),
+            jnp.asarray(dt.start_index), jnp.asarray(dt.bucket_flagged),
+            pattern_name="3", ag_wildcard=False,
+            search_bits=dt.max_bucket_bits,
+        )
+    ]
+
+    st = shard_device_table(dt, 2, accel="key16")
+    assert st.key_words.dtype == np.uint16 and st.key_words.ndim == 2
+    assert st.uniq_bits == 0
+    got = [
+        np.asarray(x)
+        for x in map_strand_sharded(
+            jnp.asarray(padded), jnp.asarray(lens), jnp.int32(5000),
+            jnp.int32(6), jnp.asarray(st.key_base), jnp.asarray(st.counter),
+            jnp.asarray(st.index), jnp.asarray(st.key_words),
+            jnp.asarray(st.bucket_flagged), jnp.asarray(st.pseq),
+            jnp.asarray(st.start_index), mesh=mesh8, pattern_name="3",
+            ag_wildcard=False, search_bits=st.max_bucket_bits,
+        )
+    ]
+    ok = ~(ref[4] | got[4])
+    assert ok.sum() >= B - 2
+    np.testing.assert_array_equal(ref[3][ok], got[3][ok])
+    for i in np.flatnonzero(ok):
+        c = int(ref[3][i])
+        for k in range(3):
+            np.testing.assert_array_equal(ref[k][i, :c], got[k][i, :c])
+
+
+def test_entry_limit_guard():
+    """The int32 entry-index invariant is asserted, not assumed."""
+    import pytest as _pytest
+
+    from walt_tpu.ops import pipeline
+
+    pipeline.check_entry_limit(2**31 - 1, "ok")
+    with _pytest.raises(ValueError, match="2\\^31"):
+        pipeline.check_entry_limit(2**31, "overflow")
+
+
 def _run_se(index, fastq, out, backend, **kw):
     from walt_tpu.core.single_end import process_single_end
 

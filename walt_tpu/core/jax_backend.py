@@ -110,12 +110,16 @@ class JaxBackend:
                  verify_slab: int = pipeline.VERIFY_SLAB,
                  cand_slab: int = pipeline.CAND_SLAB,
                  verify_slab_t1: int = pipeline.VERIFY_SLAB_T1,
-                 mesh=None, tp: int | None = None):
+                 mesh=None, tp: int | None = None, tp_accel: str = "uniq"):
         """``mesh``: a ('dp','tp') jax Mesh, the string 'auto' (all visible
         devices, ``tp``-way table sharding), or None (single default device).
         With a mesh, every batch runs through the sharded multi-chip
         pipeline (walt_tpu.parallel.sharded) -- the production replacement
-        for the reference's OpenMP read fan-out (mapping.cpp:477-499)."""
+        for the reference's OpenMP read fan-out (mapping.cpp:477-499).
+
+        ``tp_accel``: per-shard refinement structure for tp-sharded tables,
+        'uniq' (word-0 run index; default) or 'key16' (16-bit prefix keys,
+        the hg19-class HBM rung -- see walt_tpu.hbm_plan.plan_tables)."""
         import os
 
         chunk = int(os.environ.get("WALTX_CHUNK", chunk))
@@ -133,6 +137,7 @@ class JaxBackend:
             devs = jax.devices()
             mesh = make_mesh(devs, tp=tp or 1) if len(devs) > 1 else None
         self.mesh = mesh
+        self.tp_accel = tp_accel
         self._dp = int(mesh.shape["dp"]) if mesh is not None else 1
         self._tp = int(mesh.shape["tp"]) if mesh is not None else 1
         self._tables = {}
@@ -200,11 +205,22 @@ class JaxBackend:
                     place_sharded_table, shard_device_table,
                 )
 
-                dt = build_device_table(genome, table, pattern,
-                                        with_key_words=True)
-                st = shard_device_table(dt, self._tp)
-                dev = place_sharded_table(st, self.mesh)
-                dt.uniq_bits = st.uniq_bits
+                # exact_b runs (-b below the verify slabs) need all 3 key
+                # words and therefore the uniq accel; default runs build
+                # word 0 only (a third of the host bytes -- ~12 GB saved
+                # per hg19-scale table) and take the configured accel
+                need_full = n_key_words >= 3
+                dt = build_device_table(
+                    genome, table, pattern,
+                    with_key_words=(True if need_full else "word0"),
+                )
+                st = shard_device_table(
+                    dt, self._tp,
+                    accel=("uniq" if need_full else self.tp_accel),
+                )
+                uniq_bits = st.uniq_bits
+                dev = place_sharded_table(st, self.mesh, free_host=True)
+                dt.uniq_bits = uniq_bits
                 dt.key_words = None  # free the host copy (3x index bytes)
             else:
                 try:
@@ -276,6 +292,12 @@ class JaxBackend:
             build_key_words_device, build_uniq_device,
         )
 
+        # int32 entry-index invariant (ops/pipeline worklist): a single
+        # device-local CSR must stay below 2^31 entries; larger genomes
+        # (hg19 ~3.1 Gbp) must run tp-sharded (see walt_tpu.hbm_plan)
+        pipeline.check_entry_limit(
+            int(table.index.shape[0]), "single-device table"
+        )
         budget = self._hbm_budget()
         free = (None if budget is None
                 else budget - self.HBM_RESERVE - self._resident_bytes())

@@ -61,35 +61,47 @@ class DeviceTable:
 
 
 def pack_key_words(seq_padded: np.ndarray, entries: np.ndarray,
-                   pattern: SeedPattern) -> np.ndarray:
-    """Pack raw genome bases at cared[12..59] into (n, 3) uint32 words.
+                   pattern: SeedPattern,
+                   n_words: int = None) -> np.ndarray:
+    """Pack raw genome bases at cared[12..59] into (n, n_words) uint32 words.
 
     Word w holds cared positions 12+16w .. 27+16w, first position in the two
     most significant bits, so unsigned comparison of a masked word equals
-    lexicographic comparison of the bases.
+    lexicographic comparison of the bases.  ``n_words`` < 3 (e.g. word 0
+    only, the input to uniq-run/key16 accel structures) skips the deeper
+    gather passes -- at hg19 scale each word is 4 bytes/entry (~12 GB).
     """
+    if n_words is None:
+        n_words = N_KEY_WORDS
     n = entries.shape[0]
-    words = np.zeros((n, N_KEY_WORDS), dtype=np.uint32)
+    words = np.zeros((n, n_words), dtype=np.uint32)
     kw = pattern.key_weight
-    e64 = entries.astype(np.int64)
-    posbuf = np.empty(n, dtype=np.int64)
-    val = np.empty(n, dtype=np.uint8)
-    for w in range(N_KEY_WORDS):
-        acc = np.zeros(n, dtype=np.uint32)
-        for i in range(POS_PER_WORD):
-            p = kw + w * POS_PER_WORD + i
-            if p >= pattern.cared_size:
+    # chunked so the int64 gather temporaries stay ~4 GB no matter the
+    # entry count (an unchunked hg19 table would hold two ~24 GB int64
+    # scratch arrays on top of the output)
+    step = 1 << 28
+    for a in range(0, n, step):
+        z = min(a + step, n)
+        e64 = entries[a:z].astype(np.int64)
+        posbuf = np.empty(z - a, dtype=np.int64)
+        val = np.empty(z - a, dtype=np.uint8)
+        for w in range(n_words):
+            acc = np.zeros(z - a, dtype=np.uint32)
+            for i in range(POS_PER_WORD):
+                p = kw + w * POS_PER_WORD + i
+                if p >= pattern.cared_size:
+                    acc <<= np.uint32(2)
+                    continue
+                off = int(pattern.cared[p])
                 acc <<= np.uint32(2)
-                continue
-            off = int(pattern.cared[p])
-            acc <<= np.uint32(2)
-            np.add(e64, off, out=posbuf)
-            np.take(seq_padded, posbuf, out=val)
-            # & 3: past-the-genome pad bytes only occur in flagged buckets
-            # (whose keys are never used); keep them from polluting the word.
-            np.bitwise_and(val, 3, out=val)
-            acc |= val
-        words[:, w] = acc
+                np.add(e64, off, out=posbuf)
+                np.take(seq_padded, posbuf, out=val)
+                # & 3: past-the-genome pad bytes only occur in flagged
+                # buckets (whose keys are never used); keep them from
+                # polluting the word.
+                np.bitwise_and(val, 3, out=val)
+                acc |= val
+            words[a:z, w] = acc
     return words
 
 
@@ -203,8 +215,13 @@ def build_device_table(genome: Genome, table: HashTable,
     max_bucket = int(sizes.max()) if sizes.size else 1
     key_words = None
     if with_key_words:
-        key_words = pack_key_words(padded_seq(genome, pattern), table.index,
-                                   pattern)
+        # True: all 3 words (exact_b path).  "word0": first word only --
+        # enough to derive the uniq run index or the key16 prefix table,
+        # at a third of the host bytes (matters at hg19 scale).
+        key_words = pack_key_words(
+            seq_pad, table.index, pattern,
+            n_words=(1 if with_key_words == "word0" else N_KEY_WORDS),
+        )
     return DeviceTable(
         # tail must cover a full max-length window so the clip-mode slice
         # gather never shifts a near-end window's start (MAX_LINE_LENGTH

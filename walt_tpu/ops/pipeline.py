@@ -71,6 +71,24 @@ CAND_SLAB = 32
 #: survivors before the genome-window gather); spills take the host path
 WL_FACTOR = 4
 
+#: per-device-local CSR entry-count ceiling.  Entry INDICES (lo/hi bounds,
+#: worklist slots) are int32 inside the pipeline; genome POSITIONS are u32
+#: (4 Gbp format limit).  A table whose device-local index would hold
+#: >= 2^31 entries must be tp-sharded first (hg19's ~3 Gbp entries at tp=4
+#: leave ~2^30 per shard) -- walt_tpu.hbm_plan reaches the same conclusion
+#: from HBM capacity alone.
+ENTRY_LIMIT = 1 << 31
+
+
+def check_entry_limit(n_entries: int, where: str) -> None:
+    """Raise before a device-local table silently wraps its int32 indices."""
+    if n_entries >= ENTRY_LIMIT:
+        raise ValueError(
+            f"{where}: {n_entries} entries >= 2^31 would overflow the "
+            f"pipeline's int32 entry indices; shard the table (tp) so each "
+            f"device-local CSR stays below {ENTRY_LIMIT} entries"
+        )
+
 
 def _lex_ge(es, rs):
     """Lexicographic (entry >= read) on N masked word pairs."""
@@ -410,17 +428,26 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     wl_seedi = wl_bs % S
     wl_shift = jnp.take(shifts, wl_seedi)  # (M,)
     wl_entryidx = jnp.take(lower.reshape(-1), wl_bs) + (wl_flat % C)
-    wl_entry = jnp.take(
-        index, jnp.clip(wl_entryidx, 0, n_entries - 1)
-    ).astype(jnp.int32)
-    si32 = start_index.astype(jnp.int32)
-    chrom = jnp.searchsorted(si32, wl_entry, side="right") - 1
-    ch_start = si32[chrom]
-    ch_end = si32[jnp.minimum(chrom + 1, si32.shape[0] - 1)]
-    ok_head = (wl_entry - ch_start) >= wl_shift  # mapping.cpp:282-283
-    wl_gpos = wl_entry - wl_shift
+    # Genome POSITIONS stay uint32 end to end: the format allows genomes up
+    # to 4 Gbp (u32 positions, reference.cpp:302-322), so int32 would wrap
+    # beyond 2 Gbp (hg19 is 3.1 Gbp).  The u32 subtractions below are exact:
+    # wl_entry >= ch_start by construction (searchsorted of the entry's own
+    # chromosome), and a wrapped wl_gpos (entry < shift) only occurs on rows
+    # ok_head already discards.  (Entry INDICES -- lo/hi/wl_entryidx -- stay
+    # int32: per-device-local CSRs must hold < 2^31 entries, asserted by
+    # check_entry_limit at table build/shard time.)
+    wl_entry = jnp.take(index, jnp.clip(wl_entryidx, 0, n_entries - 1))
+    si_u = start_index  # uint32
+    chrom = jnp.searchsorted(si_u, wl_entry, side="right") - 1
+    ch_start = si_u[chrom]
+    ch_end = si_u[jnp.minimum(chrom + 1, si_u.shape[0] - 1)]
+    wl_shift_u = wl_shift.astype(jnp.uint32)
+    ok_head = (wl_entry - ch_start) >= wl_shift_u  # mapping.cpp:282-283
+    wl_gpos = wl_entry - wl_shift_u
     wl_len = jnp.take(lens, wl_read)
-    ok_tail = (wl_gpos + wl_len) < ch_end  # mapping.cpp:285 ('>=' skips)
+    # mapping.cpp:285 ('>=' skips); u32 add cannot wrap for positions below
+    # the 4 Gbp format limit minus MAX_LINE_LENGTH
+    ok_tail = (wl_gpos + wl_len.astype(jnp.uint32)) < ch_end
 
     if stage_out == "worklist":
         return (jnp.sum(wl_gpos) + jnp.sum(ok_head) + jnp.sum(ok_tail)

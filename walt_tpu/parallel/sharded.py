@@ -47,32 +47,62 @@ class ShardedTables:
     uniq_bits: int
 
 
-def shard_device_table(dt: DeviceTable, n_shards: int) -> ShardedTables:
-    """Split one DeviceTable into ``n_shards`` bucket-range shards."""
+def shard_device_table(dt: DeviceTable, n_shards: int,
+                       accel: str = "uniq") -> ShardedTables:
+    """Split one DeviceTable into ``n_shards`` bucket-range shards.
+
+    ``accel`` selects the per-shard refinement structure (the tp analog of
+    the single-chip HBM ladder in core/jax_backend):
+
+    - "uniq": word-0 run index (8 bytes/run) + the stored key words.  The
+      fast path searches run space; the key words are only consulted by the
+      ``exact_b`` path (small ``-b``), so a word0-only ``dt.key_words`` is
+      fine for default runs.
+    - "key16": 16-bit prefix key table (2 bytes/entry) and NO uniq/full key
+      words -- the hg19-class rung (hbm_plan: 3.1 Gbp x 2 tables need tp=4
+      with key16; uniq would need tp=8).  Requires word 0 in
+      ``dt.key_words``; incompatible with ``exact_b`` runs.
+    """
     if dt.key_words is None:
         raise ValueError(
             "shard_device_table needs host key_words; build the table with "
-            "build_device_table(..., with_key_words=True)"
+            "build_device_table(..., with_key_words=True or 'word0')"
         )
+    if accel not in ("uniq", "key16"):
+        raise ValueError(f"unknown accel {accel!r}")
     nb = dt.counter.shape[0] - 1
     if nb % n_shards:
         raise ValueError(f"{nb} buckets not divisible by {n_shards} shards")
     nbl = nb // n_shards
     bounds = dt.counter[:: nbl][: n_shards + 1].astype(np.int64)
     max_len = max(1, int(np.diff(bounds).max()))
+    # int32 entry-index invariant: the pipeline's per-device lo/hi bounds
+    # and worklist slots are int32, valid only while every device-local CSR
+    # holds < 2^31 entries (the reason hg19-scale tables MUST be sharded)
+    pipeline.check_entry_limit(max_len, f"shard_device_table(tp={n_shards})")
 
     counter = np.zeros((n_shards, nbl + 1), dtype=np.uint32)
     index = np.zeros((n_shards, max_len), dtype=np.uint32)
-    key_words = np.zeros((n_shards, max_len, 3), dtype=np.uint32)
+    nw = dt.key_words.shape[1]
+    if accel == "key16":
+        key_words = np.zeros((n_shards, max_len), dtype=np.uint16)
+        key16_full = (dt.key_words[:, 0] >> np.uint32(16)).astype(np.uint16)
+    else:
+        key_words = np.zeros((n_shards, max_len, nw), dtype=np.uint32)
     flagged = np.zeros((n_shards, nbl), dtype=bool)
 
     from walt_tpu.ops.device_index import build_uniq_host
 
-    g_uw, g_uo, g_uc, uniq_bits = build_uniq_host(
-        dt.key_words[:, 0], dt.counter
-    )
-    u_bounds = g_uc[::nbl][: n_shards + 1].astype(np.int64)
-    max_ulen = max(1, int(np.diff(u_bounds).max()))
+    if accel == "uniq":
+        g_uw, g_uo, g_uc, uniq_bits = build_uniq_host(
+            dt.key_words[:, 0], dt.counter
+        )
+        u_bounds = g_uc[::nbl][: n_shards + 1].astype(np.int64)
+        max_ulen = max(1, int(np.diff(u_bounds).max()))
+    else:
+        g_uw = g_uo = g_uc = None
+        u_bounds = np.zeros(n_shards + 1, dtype=np.int64)
+        max_ulen, uniq_bits = 1, 0
     uniq_counter = np.zeros((n_shards, nbl + 1), dtype=np.uint32)
     uniq_words = np.zeros((n_shards, max_ulen), dtype=np.uint32)
     uniq_off = np.zeros((n_shards, max_ulen + 1), dtype=np.uint32)
@@ -80,8 +110,13 @@ def shard_device_table(dt: DeviceTable, n_shards: int) -> ShardedTables:
         a, b = int(bounds[s]), int(bounds[s + 1])
         counter[s] = dt.counter[s * nbl : (s + 1) * nbl + 1] - dt.counter[s * nbl]
         index[s, : b - a] = dt.index[a:b]
-        key_words[s, : b - a] = dt.key_words[a:b]
+        if accel == "key16":
+            key_words[s, : b - a] = key16_full[a:b]
+        else:
+            key_words[s, : b - a] = dt.key_words[a:b]
         flagged[s] = dt.bucket_flagged[s * nbl : (s + 1) * nbl]
+        if accel != "uniq":
+            continue
         au, bu = int(u_bounds[s]), int(u_bounds[s + 1])
         uniq_counter[s] = g_uc[s * nbl : (s + 1) * nbl + 1] - np.uint32(au)
         uniq_words[s, : bu - au] = g_uw[au:bu]
@@ -252,12 +287,17 @@ def _uniq_kw(t: dict) -> dict:
     return out
 
 
-def place_sharded_table(st: ShardedTables, mesh: Mesh) -> dict:
+def place_sharded_table(st: ShardedTables, mesh: Mesh,
+                        free_host: bool = False) -> dict:
     """Device-put one ShardedTables onto the mesh (tp-sharded + replicated).
 
     Returns the dict consumed by :func:`map_single_end_sharded` /
     :func:`map_strand_sharded` (key_base/counter/index/key_words/
     bucket_flagged sharded over tp; pseq/start_index replicated).
+
+    ``free_host``: drop each host array from ``st`` right after its device
+    copy lands, so peak RSS holds at most one array twice (the sharded
+    index alone is ~12 GB at hg19 scale).
     """
     from jax.sharding import NamedSharding
 
@@ -266,6 +306,9 @@ def place_sharded_table(st: ShardedTables, mesh: Mesh) -> dict:
         out[name] = jax.device_put(
             jnp.asarray(getattr(st, name)), NamedSharding(mesh, spec)
         )
+        if free_host:
+            jax.block_until_ready(out[name])
+            setattr(st, name, None)
     return out
 
 
