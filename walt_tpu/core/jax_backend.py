@@ -217,6 +217,7 @@ class JaxBackend:
                 st = shard_device_table(
                     dt, self._tp,
                     accel=("uniq" if need_full else self.tp_accel),
+                    free_input=True,
                 )
                 uniq_bits = st.uniq_bits
                 dev = place_sharded_table(st, self.mesh, free_host=True)

@@ -48,7 +48,8 @@ class ShardedTables:
 
 
 def shard_device_table(dt: DeviceTable, n_shards: int,
-                       accel: str = "uniq") -> ShardedTables:
+                       accel: str = "uniq",
+                       free_input: bool = False) -> ShardedTables:
     """Split one DeviceTable into ``n_shards`` bucket-range shards.
 
     ``accel`` selects the per-shard refinement structure (the tp analog of
@@ -62,6 +63,10 @@ def shard_device_table(dt: DeviceTable, n_shards: int,
       words -- the hg19-class rung (hbm_plan: 3.1 Gbp x 2 tables need tp=4
       with key16; uniq would need tp=8).  Requires word 0 in
       ``dt.key_words``; incompatible with ``exact_b`` runs.
+
+    ``free_input``: drop ``dt.key_words`` as soon as the accel structure is
+    derived from it (12 GB of host RAM at hg19 scale, released before the
+    padded shard arrays are allocated).
     """
     if dt.key_words is None:
         raise ValueError(
@@ -85,8 +90,10 @@ def shard_device_table(dt: DeviceTable, n_shards: int,
     index = np.zeros((n_shards, max_len), dtype=np.uint32)
     nw = dt.key_words.shape[1]
     if accel == "key16":
-        key_words = np.zeros((n_shards, max_len), dtype=np.uint16)
         key16_full = (dt.key_words[:, 0] >> np.uint32(16)).astype(np.uint16)
+        if free_input:
+            dt.key_words = None
+        key_words = np.zeros((n_shards, max_len), dtype=np.uint16)
     else:
         key_words = np.zeros((n_shards, max_len, nw), dtype=np.uint32)
     flagged = np.zeros((n_shards, nbl), dtype=bool)
@@ -97,6 +104,7 @@ def shard_device_table(dt: DeviceTable, n_shards: int,
         g_uw, g_uo, g_uc, uniq_bits = build_uniq_host(
             dt.key_words[:, 0], dt.counter
         )
+        # (dt.key_words stays: the uniq-mode shard loop still copies it)
         u_bounds = g_uc[::nbl][: n_shards + 1].astype(np.int64)
         max_ulen = max(1, int(np.diff(u_bounds).max()))
     else:
