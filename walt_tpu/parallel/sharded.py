@@ -180,8 +180,15 @@ def _merge_tp(cs, cp, cm, fb, cand_slab: int, n_seeds: int = _MAX_SHIFT):
     cp_g = jax.lax.all_gather(cp, "tp")
     cm_g = jax.lax.all_gather(cm, "tp")
     fb_any = jax.lax.all_gather(fb, "tp").any(axis=0)
+    return merge_gathered(cs_g, cp_g, cm_g, fb_any, cand_slab, n_seeds)
 
-    Bl = cs.shape[0]
+
+def merge_gathered(cs_g, cp_g, cm_g, fb_any, cand_slab: int,
+                   n_seeds: int = _MAX_SHIFT):
+    """Post-all_gather merge math of :func:`_merge_tp` (factored so the
+    exact production trace can be compiled standalone -- e.g. timed on one
+    real chip, tools/tp_merge_chip.py)."""
+    Bl = cs_g.shape[1]
     C = cand_slab
     valid = cs_g >= 0  # (T, Bl, C)
     seeds = jnp.clip(cs_g.astype(jnp.int32), 0, n_seeds - 1)
@@ -206,11 +213,11 @@ def _merge_tp(cs, cp, cm, fb, cand_slab: int, n_seeds: int = _MAX_SHIFT):
 
     b_idx = jnp.broadcast_to(jnp.arange(Bl, dtype=jnp.int32)[None, :, None],
                              dest.shape)
-    m_seed = jnp.full((Bl, C), -1, dtype=cs.dtype).at[b_idx, dest].set(
+    m_seed = jnp.full((Bl, C), -1, dtype=cs_g.dtype).at[b_idx, dest].set(
         cs_g, mode="drop")
-    m_pos = jnp.zeros((Bl, C), dtype=cp.dtype).at[b_idx, dest].set(
+    m_pos = jnp.zeros((Bl, C), dtype=cp_g.dtype).at[b_idx, dest].set(
         cp_g, mode="drop")
-    m_mm = jnp.zeros((Bl, C), dtype=cm.dtype).at[b_idx, dest].set(
+    m_mm = jnp.zeros((Bl, C), dtype=cm_g.dtype).at[b_idx, dest].set(
         cm_g, mode="drop")
     total = jnp.sum(valid, axis=(0, 2), dtype=jnp.int32)
     fb_any = fb_any | (total > C)
@@ -355,7 +362,7 @@ def map_single_end_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
     pattern = get_pattern(pattern_name)
 
     def body(preads, lens, b, max_mm, tables):
-        slabs = []
+        summaries = []
         fallback = None
         for t, bits, ubits in zip(tables, search_bits, uniq_bits):
             cs, cp, cm, cc, fb = pipeline.map_strand_core(
@@ -368,11 +375,27 @@ def map_single_end_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
                 exact_b=exact_b, uniq_bits=ubits, full_mask=full_mask,
                 **_uniq_kw(t),
             )
-            m_seed, m_pos, m_mm, _, fb_any = _merge_tp(
-                cs, cp, cm, fb, cand_slab, pattern.pattern_len)
-            slabs.append((m_seed, m_pos, m_mm))
+            # tp exchange is SUMMARIES, not slabs: a (read, seed) bucket
+            # lives wholly on one shard, so the BestMatch fold only needs
+            # each shard's per-segment (seg_min, transitions, first/last
+            # position, has) -- five (B_l, S) arrays and a select-combine.
+            # The former full-slab merge (_merge_tp) scatters (T, B_l, C)
+            # slabs: measured 156 ms/table per 65k chunk on the real v5e
+            # (tools/tp_merge_chip.py), i.e. more than the entire
+            # single-chip SE program.
+            summ = se_fold.segment_summaries(cs, cp, cm, pattern)
+            gathered = {
+                k: jax.lax.all_gather(v, "tp") for k, v in summ.items()
+            }
+            summaries.append(se_fold.combine_summaries(
+                [{k: v[i] for k, v in gathered.items()}
+                 for i in range(gathered["has"].shape[0])]
+            ))
+            fb_any = jax.lax.all_gather(fb, "tp").any(axis=0)
             fallback = fb_any if fallback is None else (fallback | fb_any)
-        pos, times, minus, mm = se_fold.se_fold(slabs, max_mm, pattern)
+        pos, times, minus, mm = se_fold.fold_summaries(
+            summaries, max_mm, pattern
+        )
         flags = (
             (mm.astype(jnp.uint32) << 2)
             | (minus.astype(jnp.uint32) << 1)
