@@ -95,13 +95,56 @@ def test_no_uniq_degrade_identical(tmp_path, my_index, se_fastq, monkeypatch):
     backend = JaxBackend(chunk=256, small_chunk=64)
     _run_se(my_index, se_fastq, nu, backend)
     # the degrade actually happened: no table carries a uniq index, and
-    # the fast path runs on the 16-bit prefix key tables
+    # the fast path runs on the WIDEST key rung the (unconstrained) budget
+    # allows -- full u32 word-0 tables
     assert all(entry[0].uniq_bits == 0 for entry in backend._tables.values())
     import jax.numpy as jnp
 
-    assert all(entry[1]["key_words"].dtype == jnp.uint16
+    assert all(entry[1]["key_words"].dtype == jnp.uint32
+               and entry[1]["key_words"].ndim == 2
                for entry in backend._tables.values())
     assert open(nu).read() == open(ok).read()
+
+
+def test_key16_rung_identical(tmp_path, my_index, se_fastq, monkeypatch):
+    """A budget fitting 2n (key16) but not 4n (u32 word0) of key bytes
+    takes the key16 rung and still maps byte-identically."""
+    from walt_tpu.core.jax_backend import JaxBackend
+    from walt_tpu.index import io_walt
+    from walt_tpu.ops import device_index
+
+    ok = str(tmp_path / "ok.mr")
+    _run_se(my_index, se_fastq, ok, JaxBackend(chunk=256, small_chunk=64))
+
+    # uniq never fits; per-table key-word budget sits between 2n (key16)
+    # and 4n (u32 word0).  base is computed exactly as the backend's
+    # post-prep check does (from the built DeviceTable array sizes).
+    from walt_tpu.constants import get_pattern
+    from walt_tpu.ops.device_index import build_device_table
+
+    gm, _ = io_walt.read_head(my_index)
+    g0, ht = io_walt.read_table(my_index + "_CT00", gm)
+    n = int(ht.index.shape[0])
+    dt = build_device_table(g0, ht, get_pattern("3"))
+    base = (dt.pseq.nbytes + dt.counter.nbytes + dt.index.nbytes
+            + dt.start_index.nbytes + dt.bucket_flagged.nbytes)
+    backend = JaxBackend(chunk=256, small_chunk=64)
+    # driver sets hint=2: table 1 gets (budget-reserve)/2 = base + 2.5n,
+    # table 2 gets the remainder (~base + 3n) -- both fit 2n, neither 4n
+    budget = 2 * base + 5 * n + backend.HBM_RESERVE
+    monkeypatch.setenv("WALTX_HBM_GB", repr(budget / 2**30))
+    real = device_index.build_uniq_device
+    monkeypatch.setattr(
+        device_index, "build_uniq_device",
+        lambda *a, **kw: real(*a, **dict(kw, max_bytes=8)),
+    )
+    k16 = str(tmp_path / "k16.mr")
+    _run_se(my_index, se_fastq, k16, backend)
+    import jax.numpy as jnp
+
+    kws = [entry[1]["key_words"] for entry in backend._tables.values()]
+    assert kws and all(k.dtype == jnp.uint16 for k in kws)
+    assert open(k16).read() == open(ok).read()
 
 
 def test_hbm_budget_error_degrades_to_host(tmp_path, my_index, se_fastq,

@@ -348,7 +348,7 @@ class JaxBackend:
         skip_uniq = uniq_max is not None and 7 * n > uniq_max
         if skip_uniq:
             perf.note(f"table {genome.strand}: uniq cannot fit "
-                      f"{uniq_max / 2**30:.2f} GB, using key16 prefix table")
+                      f"{uniq_max / 2**30:.2f} GB, using a key-word rung")
         try:
             if not skip_uniq:
                 with perf.stage("table_uniq_build"):
@@ -380,25 +380,39 @@ class JaxBackend:
             # packed lookup keys from the uploaded genome: saves the
             # 48-gather host pass and a 12-bytes/entry transfer.  The
             # exact_b path (b below the verify slabs) needs all 3 u32
-            # words; a uniq-less fast-path table needs only the 16-bit
-            # word-0 prefix (the window cared check verifies the rest) --
-            # 2 bytes/entry instead of 4 (ops/device_index.
-            # build_key16_device).
-            kw_bytes = 4 * need_kw * n if need_kw >= 3 else 2 * n
-            if free is not None and base + uniq_bytes + kw_bytes > free:
+            # words.  A uniq-less fast-path table stores ONE word in the
+            # widest form the budget allows:
+            #  - full u32 word 0 (4 bytes/entry): refines to the exact
+            #    word-0 run -- a 28-cared-base effective seed;
+            #  - 16-bit prefix (2 bytes/entry, build_key16_device): 8
+            #    cared bases beyond the hash key; cheaper, but the coarser
+            #    run group overflows the verify slab far more often
+            #    (se_xl_768M measured 39.5% host-fallback on this rung;
+            #    round-3 verdict next #6 -> prefer the wider word).
+            # The window cared check verifies the uncompared positions
+            # either way.
+            kw_modes = ([(need_kw, 4 * need_kw * n, "3-word")]
+                        if need_kw >= 3
+                        else [(1, 4 * n, "u32 word0"), (0, 2 * n, "key16")])
+            chosen = None
+            for mode, kw_bytes, label in kw_modes:
+                if free is None or base + uniq_bytes + kw_bytes <= free:
+                    chosen = (mode, kw_bytes, label)
+                    break
+            if chosen is None:
                 raise HbmBudgetError(
-                    f"key words need {kw_bytes / 2**30:.2f} GB on top of "
-                    f"{(base + uniq_bytes) / 2**30:.2f} GB of tables; "
+                    f"key words need {kw_modes[-1][1] / 2**30:.2f} GB on top "
+                    f"of {(base + uniq_bytes) / 2**30:.2f} GB of tables; "
                     f"budget is {budget / 2**30:.0f} GB "
                     f"(set WALTX_HBM_GB to override)"
                 )
+            mode, kw_bytes, label = chosen
             with perf.stage("table_key_words"):
-                perf.note(f"table {genome.strand}: building "
-                          f"{'key16 prefix' if need_kw < 3 else '3-word'} "
+                perf.note(f"table {genome.strand}: building {label} "
                           f"key table ({kw_bytes / 2**30:.2f} GB)")
-                if need_kw >= 3:
+                if mode >= 1:
                     dev["key_words"] = build_key_words_device(
-                        dev["pseq"], dt.index, pattern, n_key_words=need_kw,
+                        dev["pseq"], dt.index, pattern, n_key_words=mode,
                     )
                 else:
                     from walt_tpu.ops.device_index import build_key16_device

@@ -463,7 +463,8 @@ def build_key16_device(pseq_dev, index_np: np.ndarray,
     out = jnp.zeros((n,), dtype=jnp.uint16)
     for a in range(0, n, chunk):
         z = min(a + chunk, n)
-        ent = np.zeros(chunk, dtype=np.int32)
+        # u32: genome positions may exceed int32 (4 Gbp format)
+        ent = np.zeros(chunk, dtype=np.uint32)
         ent[: z - a] = index_np[a:z]
         out = one_chunk(pseq_dev, jnp.asarray(ent), out, jnp.int32(a))
     return out
@@ -527,7 +528,8 @@ def build_key_words_device(pseq_dev, index_np: np.ndarray,
     out = jnp.zeros((n, n_key_words), dtype=jnp.uint32)
     for a in range(0, n, chunk):
         z = min(a + chunk, n)
-        ent = np.zeros(chunk, dtype=np.int32)
+        # u32: genome positions may exceed int32 (4 Gbp format)
+        ent = np.zeros(chunk, dtype=np.uint32)
         ent[: z - a] = index_np[a:z]
         out = one_chunk(pseq_dev, jnp.asarray(ent), out, jnp.int32(a))
     return out
