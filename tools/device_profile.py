@@ -82,7 +82,8 @@ def main() -> int:
     # production tier-1 settings (jax_backend.map_single_end phase A/B)
     fm = JaxBackend._full_mask(lens[:chunk], pattern)
     kw = dict(pattern_name="3", ag_wildcard=False,
-              verify_slab=pipeline.VERIFY_SLAB_T1, wl_factor=2,
+              verify_slab=pipeline.VERIFY_SLAB_T1,
+              wl_factor=float(os.environ.get("WALTX_PROF_WL", "1.5")),
               exact_b=False, full_mask=fm)
     t0dev = devs[0]
     args0 = (pc, pl, b, mm, t0dev["pseq"], t0dev["counter"], t0dev["index"],

@@ -172,8 +172,13 @@ class JaxBackend:
         # gather, read-row gather, compaction scatter) scales with it, and
         # typical occupancy is <1 row/read, so start tight and escalate for
         # workloads that actually spill (spilled reads stay correct -- they
-        # ride the tier/host fallback -- it is purely a throughput knob)
-        self._wl1 = 2
+        # ride the tier/host fallback -- it is purely a throughput knob).
+        # 1.5 measured on the v5e (DEVPROF round 4): verify+worklist are
+        # gather-issue-bound in M, and survivors average ~1.2/read, so the
+        # quarter saved is straight device time at unchanged spill rates.
+        import os as _os
+
+        self._wl1 = float(_os.environ.get("WALTX_WL1", "1.5"))
 
     def _device_table(self, genome: Genome, table: HashTable,
                       pattern: SeedPattern, n_key_words: int = 1):

@@ -410,7 +410,11 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     # ~1-2 per read) instead of every slab slot.  Worklist order is flat
     # (read, seed asc, bucket position asc) = the reference's examination
     # order, so downstream per-read compaction stays ordered.
-    M = wl_factor * B
+    # wl_factor may be fractional (slots per read): every worklist-sized op
+    # -- the (W+1)-word window gather, the read-row gather, the compaction
+    # scatter -- scales with M, and survivors average ~1.2/read, so shaving
+    # slots is direct device time (spills stay correct via the host path).
+    M = max(1, int(wl_factor * B))
     keep_flat = keep_pre.reshape(B * S * C)
     gidx = jnp.cumsum(keep_flat.astype(jnp.int32)) - 1
     wl_src = jnp.full((M,), -1, dtype=jnp.int32).at[
