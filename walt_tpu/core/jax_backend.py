@@ -179,6 +179,13 @@ class JaxBackend:
         import os as _os
 
         self._wl1 = float(_os.environ.get("WALTX_WL1", "1.5"))
+        # PE mate-program shapes: candidate density is higher than SE's
+        # (no 0/1-mm early exit, all candidates <= -m collected for the
+        # top-k heaps), so the PE worklist and verify slab get their own
+        # knobs (tools/pe_tune.py measures the trade on the real chip)
+        self.pe_verify_slab = int(_os.environ.get("WALTX_PE_SLAB", "0")) or None
+        self.pe_wl = float(_os.environ.get("WALTX_PE_WL", "0")) or None
+        self.pe_flat_factor = int(_os.environ.get("WALTX_PE_FLAT", "0")) or None
 
     def _device_table(self, genome: Genome, table: HashTable,
                       pattern: SeedPattern, n_key_words: int = 1):
@@ -772,7 +779,10 @@ class JaxBackend:
 
         results = self._dispatch_mate(
             codes, lens, devs, bits, ubits, ag_wildcard, b, max_mismatches,
-            pattern, self.verify_slab_t1, self._wl1, pe_map.FLAT_FACTOR,
+            pattern,
+            self.pe_verify_slab or self.verify_slab_t1,
+            self.pe_wl or self._wl1,
+            self.pe_flat_factor or pe_map.FLAT_FACTOR,
         )
         return n, results
 
