@@ -213,9 +213,7 @@ class JaxBackend:
                     "table build already failed the HBM budget this run"
                 )
             if self.mesh is not None:
-                from walt_tpu.parallel import (
-                    place_sharded_table, shard_device_table,
-                )
+                from walt_tpu.parallel import shard_and_place
 
                 # exact_b runs (-b below the verify slabs) need all 3 key
                 # words and therefore the uniq accel; default runs build
@@ -226,13 +224,12 @@ class JaxBackend:
                     genome, table, pattern,
                     with_key_words=(True if need_full else "word0"),
                 )
-                st = shard_device_table(
-                    dt, self._tp,
+                # streamed shard+place: one shard row materialized at a
+                # time (hg19-scale tables OOM the host otherwise)
+                dev, uniq_bits = shard_and_place(
+                    dt, self.mesh,
                     accel=("uniq" if need_full else self.tp_accel),
-                    free_input=True,
                 )
-                uniq_bits = st.uniq_bits
-                dev = place_sharded_table(st, self.mesh, free_host=True)
                 dt.uniq_bits = uniq_bits
                 dt.key_words = None  # free the host copy (3x index bytes)
             else:

@@ -19,5 +19,6 @@ from walt_tpu.parallel.sharded import (  # noqa: F401
     map_single_end_sharded,
     map_strand_sharded,
     place_sharded_table,
+    shard_and_place,
     shard_device_table,
 )
