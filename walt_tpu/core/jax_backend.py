@@ -182,10 +182,12 @@ class JaxBackend:
         # PE mate-program shapes: candidate density is higher than SE's
         # (no 0/1-mm early exit, all candidates <= -m collected for the
         # top-k heaps), so the PE worklist and verify slab get their own
-        # knobs (tools/pe_tune.py measures the trade on the real chip)
-        self.pe_verify_slab = int(_os.environ.get("WALTX_PE_SLAB", "0")) or None
-        self.pe_wl = float(_os.environ.get("WALTX_PE_WL", "0")) or None
-        self.pe_flat_factor = int(_os.environ.get("WALTX_PE_FLAT", "0")) or None
+        # knobs.  Defaults are the tools/pe_tune.py winner on the real v5e
+        # (pe_mid_256M): slab 16 / wl 3 / flat 12 mapped 57.2k pairs/s at
+        # 7.25% host-fallback vs 55.0k at 23.3% for the old SE-shaped 8/2/8.
+        self.pe_verify_slab = int(_os.environ.get("WALTX_PE_SLAB", "16"))
+        self.pe_wl = float(_os.environ.get("WALTX_PE_WL", "3"))
+        self.pe_flat_factor = int(_os.environ.get("WALTX_PE_FLAT", "12"))
 
     def _device_table(self, genome: Genome, table: HashTable,
                       pattern: SeedPattern, n_key_words: int = 1):
