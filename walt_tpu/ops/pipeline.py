@@ -285,10 +285,14 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         # is UNROLLED (search_bits is static, <= 32): each iteration is one
         # sequential HBM gather; lax.fori_loop's per-trip loop machinery
         # costs more than the duplicated body on this gather-latency-bound
-        # chain.
+        # chain.  All midpoints below use the overflow-free l + (r-l)//2
+        # form: (l+r)//2 wraps int32 once a shard holds > 2^30 entries --
+        # hg19's T-rich shard has 1.55e9, and the wrapped search silently
+        # returned empty runs (930 reads lost; caught by tools/hg19_scale
+        # parity, round 4).
         l, r = lo, hi
         for _ in range(search_bits):
-            mid = (l + r) // 2
+            mid = l + (r - l) // 2
             ge = probe(mid)
             active = l < r
             r = jnp.where(active & ge, mid, r)
@@ -305,7 +309,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
 
         l, r = lo, hi
         for _ in range(search_bits):
-            mid = (l + r) // 2
+            mid = l + (r - l) // 2
             ge = probe16(mid)
             active = l < r
             r = jnp.where(active & ge, mid, r)
@@ -325,7 +329,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
 
         l, r = lo, hi
         for _ in range(uniq_bits):
-            mid = (l + r) // 2
+            mid = l + (r - l) // 2
             ge = uprobe(mid, False)
             active = l < r
             r = jnp.where(active & ge, mid, r)
@@ -347,7 +351,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
             # probe chain finds the first run past the prefix group
             l2, r2 = lu, hi
             for _ in range(uniq_bits):
-                mid = (l2 + r2) // 2
+                mid = l2 + (r2 - l2) // 2
                 gt = uprobe(mid, True)
                 active = l2 < r2
                 r2 = jnp.where(active & gt, mid, r2)
