@@ -248,8 +248,11 @@ def tp_cost(tables, codes, lens, pattern, n_reads):
             ),
         )
         if merge_s is not None:
-            row["tp_merge_s"] = round(merge_s, 4)
-            row["tp_merge_share"] = round(merge_s / dt, 3)
+            # the SLAB merge is no longer part of the SE program (it
+            # exchanges (B, S) segment summaries since round 4); this times
+            # the legacy merge still used by the strand-level / PE APIs
+            row["legacy_slab_merge_s"] = round(merge_s, 4)
+            row["legacy_slab_merge_share"] = round(merge_s / dt, 3)
         out.append(row)
         print(json.dumps(row))
     return out
