@@ -54,10 +54,13 @@ def main() -> int:
 
     pattern = get_pattern("3")
     genome_meta, _ = io_walt.read_head(index)
+    suf = ("_CT00",) if os.environ.get("WALTX_PROF_ONE") else (
+        "_CT00", "_CT01")
     tables = [io_walt.read_table_cached(index + s, genome_meta)
-              for s in ("_CT00", "_CT01")]
+              for s in suf]
 
     backend = JaxBackend()
+    backend.table_budget_hint = 2  # what the SE driver sets (2 tables)
     devs, bits, ubits = [], [], []
     for g, ht in tables:
         dt, dev = backend._device_table(g, ht, pattern, 1)
@@ -110,6 +113,20 @@ def main() -> int:
             pipeline.map_strand_device(
                 *args0, search_bits=bits[0], **ukw0, **kw)))
     # the full fused SE program (both strands + device fold), phase-B shape
+    if len(devs) < 2:
+        out = {
+            "chunk": chunk, "W": W, "search_bits": bits, "uniq_bits": ubits,
+            "full_mask": fm, "device": str(jax.devices()[0].device_kind),
+            "seconds": {k: round(v, 5) for k, v in results.items()},
+        }
+        diffs, prev = {}, results["rtt"]
+        for st in stages + ["strand"]:
+            diffs[st] = round(results[st] - prev, 5)
+            prev = results[st]
+        out["stage_delta_s"] = diffs
+        print(json.dumps(out, indent=1), file=sys.stderr)
+        print(json.dumps({"strand_s": results.get("strand")}))
+        return 0
     results["full_se"] = _time(lambda: np.asarray(
         se_fold.map_single_end_device(
             pc, pl, b, mm, tuple(devs), search_bits=tuple(bits),
