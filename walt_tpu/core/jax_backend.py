@@ -253,10 +253,12 @@ class JaxBackend:
     # ---- HBM budgeting -------------------------------------------------
     #: bytes reserved for the mapping working set (read chunks, worklists,
     #: gather windows, XLA scratch, allocator fragmentation) on top of the
-    #: resident tables.  Calibrated on the real v5e: 12.0 GB of resident
-    #: tables OOMed mid-mapping against a 2 GB reserve; 11.4 GB runs
-    #: reliably (walt_tpu/hbm_plan.py).
-    HBM_RESERVE = 3584 << 20
+    #: resident tables.  Calibrated on the real v5e across rounds 3-4:
+    #: 12.0 GB of resident tables OOMed mid-mapping; 11.83 GB (two u32
+    #: word-0 se_xl tables) hit INTERMITTENT ResourceExhausted during the
+    #: second table's build, thrashing re-uploads; 11.4 GB runs reliably.
+    #: 4.25 GB keeps the ladder's worst pick at ~11.5 GB.
+    HBM_RESERVE = 4352 << 20
 
     def _hbm_budget(self) -> int | None:
         """Device memory budget in bytes, or None when unconstrained.
@@ -418,19 +420,39 @@ class JaxBackend:
                     f"(set WALTX_HBM_GB to override)"
                 )
             mode, kw_bytes, label = chosen
+            from walt_tpu.core.errors import is_oom_error
+            from walt_tpu.ops.device_index import build_key16_device
+
+            def build_kw(m):
+                if m >= 1:
+                    return build_key_words_device(
+                        dev["pseq"], dt.index, pattern, n_key_words=m,
+                    )
+                return build_key16_device(dev["pseq"], dt.index, pattern)
+
             with perf.stage("table_key_words"):
                 perf.note(f"table {genome.strand}: building {label} "
                           f"key table ({kw_bytes / 2**30:.2f} GB)")
-                if mode >= 1:
-                    dev["key_words"] = build_key_words_device(
-                        dev["pseq"], dt.index, pattern, n_key_words=mode,
-                    )
-                else:
-                    from walt_tpu.ops.device_index import build_key16_device
-
-                    dev["key_words"] = build_key16_device(
-                        dev["pseq"], dt.index, pattern,
-                    )
+                try:
+                    dev["key_words"] = build_kw(mode)
+                except Exception as e:
+                    # the static budget passed but the REAL allocator did
+                    # not (fragmentation, runtime reserve): degrade to the
+                    # next rung once instead of retrying -- and thrashing
+                    # re-uploads -- every batch
+                    if not is_oom_error(e) or mode < 1:
+                        raise
+                    perf.note(f"table {genome.strand}: {label} build hit "
+                              f"device OOM, degrading to key16")
+                    try:
+                        dev["key_words"] = build_kw(0)
+                    except Exception as e2:
+                        if not is_oom_error(e2):
+                            raise
+                        raise HbmBudgetError(
+                            "key-word build exhausted device memory on "
+                            "every rung; mapping on the exact host path"
+                        ) from e2
         else:
             dev["key_words"] = jnp.zeros((1, 1), dtype=jnp.uint32)
         perf.note(f"table {genome.strand}: ready (uniq_bits={dt.uniq_bits})")

@@ -26,10 +26,11 @@ positions; reference.cpp:302-322 is the on-disk equivalent):
   cared check verifies the rest) or 12n full key words (only needed when
   -b < verify slab) -- tp-sharded; not needed when the uniq index is built
 
-The default reserve is 3.5 GB: a 768 Mbp config whose resident tables
-modeled 12.0 GB against a 2 GB reserve OOMed in practice on the real v5e
-(XLA program temporaries + allocator fragmentation), while 11.4 GB
-resident runs reliably.
+The default reserve is 4.25 GB (re-calibrated round 4): 12.0 GB of
+resident tables OOMed mid-mapping on the real v5e, 11.83 GB (two u32
+word-0 se_xl tables) hit intermittent ResourceExhausted during the second
+table's build, and 11.4 GB runs reliably -- XLA program temporaries plus
+allocator fragmentation eat more than the earlier 2-3.5 GB estimates.
 """
 
 from __future__ import annotations
@@ -70,7 +71,7 @@ def table_bytes(genome_bp: int, uniq_ratio: float = 1.0):
 
 
 def plan_tables(genome_bp: int, n_tables: int = 2,
-                hbm_bytes: int = 16 << 30, reserve: int = 3584 << 20,
+                hbm_bytes: int = 16 << 30, reserve: int = 4352 << 20,
                 uniq_ratio: float = 1.0, b_small: bool = False,
                 max_tp: int = 64) -> TablePlan:
     """Smallest tp width (power of two) that fits, preferring uniq.
