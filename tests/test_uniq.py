@@ -149,12 +149,18 @@ def test_key16_vs_oracle_repetitive(tmp_path, monkeypatch):
     g, ht = build_table(genome, "CT00", pattern, verbose=False)
     codes, lens, _ = sample_reads(genome, 2000, 100, seed=23)
 
-    # force the key16 ladder rung (uniq over budget)
+    # force the key16 ladder rung: uniq over budget AND the u32 word0
+    # build hitting a (simulated) device OOM -- which also exercises the
+    # rung-degradation path added in round 4
     real = device_index.build_uniq_device
     monkeypatch.setattr(
         device_index, "build_uniq_device",
         lambda *a, **kw: real(*a, **dict(kw, max_bytes=8)),
     )
+    def oom_kw(*a, **kw):
+        raise RuntimeError("RESOURCE_EXHAUSTED: simulated")
+
+    monkeypatch.setattr(device_index, "build_key_words_device", oom_kw)
     backend = JaxBackend(chunk=1024, small_chunk=1024)
     got = backend.map_strand(codes, lens, g, ht, False, 5000, 6, pattern)
     assert all(
