@@ -808,7 +808,17 @@ class JaxBackend:
         return n, results
 
     def _decode_mate(self, results, n: int):
-        """Fetch + decode flat-compacted mate results into slab streams."""
+        """Fetch + decode flat-compacted mate results into slab streams.
+
+        Single-device results are (meta (B,), flat (M, 2)); tp-sharded
+        results (parallel.map_mate_sharded) are (meta (T, B),
+        flat (T, M, 2)) -- one compacted stream per tp table shard.  A
+        (read, seed) bucket lives wholly on one shard, so for T > 1 the
+        shard entries are interleaved back into examination order (seed
+        asc, shard order irrelevant within a seed) with one lexsort over
+        the ~2-4 real candidates/read -- the host-side half of the flat
+        tp exchange that replaced the 156 ms/table device slab merge.
+        """
         C = self.cand_slab
         streams = [
             dict(seed=np.zeros((n, C), dtype=np.int8),
@@ -818,42 +828,85 @@ class JaxBackend:
             for _ in range(2)
         ]
         fallback = np.zeros(n, dtype=bool)
+        cnt_acc = np.zeros((2, n), dtype=np.int64)
+        pend = []  # cross-shard entries awaiting the seed-order merge
         for a, z, (meta_d, flat_d) in results:
             meta_c = np.asarray(meta_d)
             flat_c = np.asarray(flat_d)
-            B = meta_c.shape[0]
-            # the flat compaction is dp-local: one read-major segment per
-            # dp shard (a single segment when unsharded)
-            seg_reads = B // self._dp
-            seg_M = flat_c.shape[0] // self._dp
-            for g in range(self._dp):
-                a0 = a + g * seg_reads
-                if a0 >= z:
-                    break
-                z0 = min(a0 + seg_reads, z)
-                meta = meta_c[g * seg_reads : g * seg_reads + (z0 - a0)]
-                flat = flat_c[g * seg_M : (g + 1) * seg_M]
-                cnt0 = (meta & 0xFF).astype(np.int64)
-                cnt1 = ((meta >> 8) & 0xFF).astype(np.int64)
-                fallback[a0:z0] = (meta >> 16) & 1
-                total = cnt0 + cnt1
-                m = int(total.sum())
-                streams[0]["cnt"][a0:z0] = cnt0
-                streams[1]["cnt"][a0:z0] = cnt1
-                if not m:
-                    continue
-                ends = np.cumsum(total)
-                rid = np.repeat(np.arange(z0 - a0), total)
-                within = np.arange(m) - (ends - total)[rid]
-                w1 = flat[:m, 1]
-                strand = ((w1 >> 1) & 1).astype(np.int64)
-                col = np.where(strand == 0, within, within - cnt0[rid])
-                for s, st in enumerate(streams):
-                    sel = strand == s
-                    r, c = rid[sel] + a0, col[sel]
-                    st["seed"][r, c] = ((w1[sel] >> 2) & 0x3F).astype(np.int8)
-                    st["pos"][r, c] = flat[:m, 0][sel]
-                    st["mm"][r, c] = (w1[sel] >> 8).astype(np.int32)
+            if meta_c.ndim == 1:
+                meta_c, flat_c = meta_c[None], flat_c[None]
+            T = meta_c.shape[0]
+            for t in range(T):
+                meta_t, flat_t = meta_c[t], flat_c[t]
+                # the flat compaction is dp-local: one read-major segment
+                # per dp shard (a single segment when unsharded)
+                seg_reads = meta_t.shape[0] // self._dp
+                seg_M = flat_t.shape[0] // self._dp
+                for g in range(self._dp):
+                    a0 = a + g * seg_reads
+                    if a0 >= z:
+                        break
+                    z0 = min(a0 + seg_reads, z)
+                    meta = meta_t[g * seg_reads : g * seg_reads + (z0 - a0)]
+                    flat = flat_t[g * seg_M : (g + 1) * seg_M]
+                    cnt0 = (meta & 0xFF).astype(np.int64)
+                    cnt1 = ((meta >> 8) & 0xFF).astype(np.int64)
+                    fallback[a0:z0] |= ((meta >> 16) & 1).astype(bool)
+                    cnt_acc[0, a0:z0] += cnt0
+                    cnt_acc[1, a0:z0] += cnt1
+                    total = cnt0 + cnt1
+                    m = int(total.sum())
+                    if not m:
+                        continue
+                    ends = np.cumsum(total)
+                    rid = np.repeat(np.arange(z0 - a0), total)
+                    within = np.arange(m) - (ends - total)[rid]
+                    w1 = flat[:m, 1]
+                    strand = ((w1 >> 1) & 1).astype(np.int64)
+                    col = np.where(strand == 0, within, within - cnt0[rid])
+                    if T == 1:
+                        for s, st in enumerate(streams):
+                            sel = strand == s
+                            r, c = rid[sel] + a0, col[sel]
+                            st["seed"][r, c] = (
+                                (w1[sel] >> 2) & 0x3F).astype(np.int8)
+                            st["pos"][r, c] = flat[:m, 0][sel]
+                            st["mm"][r, c] = (w1[sel] >> 8).astype(np.int32)
+                    else:
+                        pend.append((
+                            rid + a0, strand,
+                            ((w1 >> 2) & 0x3F).astype(np.int64),
+                            flat[:m, 0], (w1 >> 8).astype(np.int64),
+                            np.full(m, t, dtype=np.int64), col,
+                        ))
+        if pend:
+            rid, strand, seed, pos, mm, shard, col = (
+                np.concatenate([p[k] for p in pend]) for k in range(7)
+            )
+            # examination order: seed asc (one shard per (read, seed)),
+            # then within-shard stream order; (shard, col) keeps the sort
+            # stable where a masked short-read prefix could ever straddle
+            order = np.lexsort((col, shard, seed, strand, rid))
+            rid, strand, seed, pos, mm = (
+                x[order] for x in (rid, strand, seed, pos, mm)
+            )
+            grp = np.empty(rid.shape[0], dtype=bool)
+            grp[0] = True
+            grp[1:] = (rid[1:] != rid[:-1]) | (strand[1:] != strand[:-1])
+            gstart = np.maximum.accumulate(
+                np.where(grp, np.arange(rid.shape[0]), 0)
+            )
+            newcol = np.arange(rid.shape[0]) - gstart
+            ok = newcol < C  # overflow reads fall back via cnt_acc below
+            r, c, s = rid[ok], newcol[ok], strand[ok]
+            for sv in range(2):
+                sel = s == sv
+                streams[sv]["seed"][r[sel], c[sel]] = seed[ok][sel]
+                streams[sv]["pos"][r[sel], c[sel]] = pos[ok][sel]
+                streams[sv]["mm"][r[sel], c[sel]] = mm[ok][sel]
+        for s in range(2):
+            streams[s]["cnt"][:] = np.minimum(cnt_acc[s], C)
+        fallback |= (cnt_acc > C).any(axis=0)
         return streams, fallback
 
     def map_mate_slabs_finish(self, handle):

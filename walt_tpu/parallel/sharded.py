@@ -573,16 +573,27 @@ def map_mate_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
                      uniq_bits: tuple = (0, 0), full_mask: bool = False):
     """Sharded equivalent of ``pe_map.map_mate_device``.
 
-    The flat compaction is dp-LOCAL: the returned flat array is dp segments
-    of flat_factor * (B/dp) rows each, read-major within a segment; the
-    host unpacks per segment (jax_backend.map_mate_slabs).
-    """
-    from walt_tpu.constants import get_pattern
-    from walt_tpu.ops import pe_map
+    The tp exchange is FLAT STREAMS, not candidate slabs: each tp shard
+    flat-compacts its own (strand '+', strand '-') slabs locally -- a
+    (read, seed) bucket lives wholly on one shard, so the union of the
+    shard streams IS the candidate set -- and the all_gather moves
+    ~16-40 B/read of compacted stream per shard instead of (T, B_l, C)
+    padded slabs.  The former slab merge (``_merge_tp``) was chip-measured
+    at 156 ms/table per 65k chunk (SCALING.json round 4,
+    ``tp_merge_chip_ms``) -- more than the whole single-chip SE program;
+    the stream gather replaces its scatter entirely and the examination-
+    order interleave (seed asc across shards) moves to the host decode
+    (jax_backend._decode_mate), where it is a numpy lexsort over the ~2-4
+    real candidates/read.
 
-    pattern = get_pattern(pattern_name)
+    Returns (meta (T, B) uint32, flat (T, dp*M_l, 2) uint32) where row t is
+    shard t's dp-segmented stream (M_l = flat_factor * B/dp rows per dp
+    segment), exactly the per-shard layout of the single-device program.
+    """
 
     def body(preads, lens, b, max_mm, tables):
+        from walt_tpu.ops import pe_map
+
         slabs = []
         fallback = None
         for t, bits, ubits in zip(tables, search_bits, uniq_bits):
@@ -596,17 +607,17 @@ def map_mate_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
                 exact_b=exact_b, uniq_bits=ubits, full_mask=full_mask,
                 **_uniq_kw(t),
             )
-            m_seed, m_pos, m_mm, _, fb_any = _merge_tp(
-                cs, cp, cm, fb, cand_slab, pattern.pattern_len)
-            slabs.append((m_seed, m_pos, m_mm))
-            fallback = fb_any if fallback is None else (fallback | fb_any)
-        return pe_map.flat_compact(slabs, fallback, flat_factor)
+            slabs.append((cs, cp, cm))
+            fallback = fb if fallback is None else (fallback | fb)
+        meta_l, flat_l = pe_map.flat_compact(slabs, fallback, flat_factor)
+        return (jax.lax.all_gather(meta_l, "tp"),
+                jax.lax.all_gather(flat_l, "tp"))
 
     spec = {k: _TABLE_SPEC[k] for k in tables[0]}
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P("dp"), P("dp"), P(), P(), (spec, spec)),
-        out_specs=(P("dp"), P("dp")),
+        out_specs=(P(None, "dp"), P(None, "dp", None)),
         check_vma=False,
     )(preads, lens, b, max_mm, tables)
