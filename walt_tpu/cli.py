@@ -137,9 +137,30 @@ def build_map_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _about_or_help(argv, parser, prog: str, descr: str) -> bool:
+    """OptionParser's ``-about`` / ``-?`` surface (OptionParser.cpp:382-386).
+
+    ``-about`` prints the "PROGRAM: <name>" banner plus the program
+    description (about_message, OptionParser.cpp:433-452); ``-?`` is a help
+    alias (argparse already covers -h/--help).
+    """
+    if any(a in ("-about", "--about") for a in argv):
+        print(f"PROGRAM: {prog}")
+        print(descr)
+        return True
+    if "-?" in argv:
+        parser.print_help()
+        return True
+    return False
+
+
 def main_map(argv=None) -> int:
     argv = _apply_config_file(sys.argv[1:] if argv is None else argv)
-    args = build_map_parser().parse_args(argv)
+    parser = build_map_parser()
+    # description mirrors walt.cpp:130 so `-about` output matches shape
+    if _about_or_help(argv, parser, "waltx", "map Illumina BS-seq reads"):
+        return 0
+    args = parser.parse_args(argv)
     _validate_index(args.index)
 
     se_files = _split_filenames(args.reads)
@@ -276,6 +297,10 @@ def main_index(argv=None) -> int:
     p.add_argument("--rand-seed", type=int, default=0,
                    help="seed for non-ACGT randomization (reference uses "
                         "time(NULL), which is irreproducible)")
+    # description mirrors makedb.cpp:93 for `-about` parity
+    if _about_or_help(argv or [], p, "waltx index",
+                      "build index for reference genome"):
+        return 0
     args = p.parse_args(argv)
     if not args.output.endswith(".dbindex"):
         raise SystemExit("The suffix of the output file should be '.dbindex'")

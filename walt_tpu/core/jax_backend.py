@@ -357,11 +357,20 @@ class JaxBackend:
         uniq = None
         # skip the count pass outright when even an optimistic run count
         # (U = 0.875n; measured U/n is ~0.93 on repeat-heavy genomes) cannot
-        # fit -- saves ~90 s of device time per table on the key16 rung
-        skip_uniq = uniq_max is not None and 7 * n > uniq_max
+        # fit -- saves ~90 s of device time per table on the key16 rung.
+        # WALTX_KEY_RUNG (uniq|word0|key16) pins the ladder to one rung for
+        # throughput A/B runs (round-4 verdict next #7: rungs must be chosen
+        # by measured end-to-end throughput, not fallback %).
+        import os as _os
+
+        rung = _os.environ.get("WALTX_KEY_RUNG", "")
+        skip_uniq = (uniq_max is not None and 7 * n > uniq_max) \
+            or rung in ("word0", "key16")
         if skip_uniq:
-            perf.note(f"table {genome.strand}: uniq cannot fit "
-                      f"{uniq_max / 2**30:.2f} GB, using a key-word rung")
+            perf.note(f"table {genome.strand}: uniq "
+                      + (f"pinned off (WALTX_KEY_RUNG={rung})" if rung else
+                         f"cannot fit {uniq_max / 2**30:.2f} GB")
+                      + ", using a key-word rung")
         try:
             if not skip_uniq:
                 with perf.stage("table_uniq_build"):
@@ -407,6 +416,10 @@ class JaxBackend:
             kw_modes = ([(need_kw, 4 * need_kw * n, "3-word")]
                         if need_kw >= 3
                         else [(1, 4 * n, "u32 word0"), (0, 2 * n, "key16")])
+            if need_kw < 3 and rung == "word0":
+                kw_modes = kw_modes[:1]
+            elif need_kw < 3 and rung == "key16":
+                kw_modes = kw_modes[1:]
             chosen = None
             for mode, kw_bytes, label in kw_modes:
                 if free is None or base + uniq_bytes + kw_bytes <= free:
@@ -639,10 +652,18 @@ class JaxBackend:
         from walt_tpu import native as _native
 
         have_native = _native.get_lib() is not None
-        if have_native:
+        if have_native and self.mesh is None:
             self.total_reads += n
             self.fallback_reads += int(fb.sum())
             return pos, times, minus, mm, fb
+        # On a MESH the device tiers run even with the native library: the
+        # single-chip measurement behind the host-replay preference was
+        # tunnel-dispatch-bound, while a tp mesh on the key16 rung (the hg19
+        # deployment) overflows the tier-1 slab on the majority of reads
+        # (HG19SCALE round 4: 60% host fallback at tp=4) -- replaying most
+        # of the workload on one host would leave the pod idle.  Tier
+        # re-runs keep the overflow on device; only the residue (flagged
+        # buckets, runs > 512) goes to the host replay.
         todo = np.flatnonzero(fb)
         if todo.size > max(256, n // 128):
             # chunk bounded so the worklist (wl_factor x chunk rows) keeps

@@ -98,6 +98,53 @@ def _lex_ge(es, rs):
     return ge
 
 
+def _search_k() -> int:
+    """Arity of the refinement search (WALTX_SEARCH_K, default 4).
+
+    The probe chains are the pipeline's dominant stage on real silicon
+    (DEVPROF round 4: search 54.5 ms of 249 ms) and they are LATENCY-bound:
+    each binary-search round is one 4-byte HBM gather that depends on the
+    previous round.  A k-ary round issues k-1 INDEPENDENT gathers (they
+    pipeline) and divides the interval by k, cutting the serial depth from
+    ``bits`` to ``ceil(bits / log2 k)`` rounds -- at k=4 that is half the
+    dependent-gather chain for 3x the (cheap, parallel) probe traffic.
+    """
+    import os
+
+    return max(2, int(os.environ.get("WALTX_SEARCH_K", "4")))
+
+
+def _kary_lower(l, r, probe, bits: int, k: int):
+    """First index in [l, r) where monotone ``probe`` holds (lower bound).
+
+    ``probe(idx) -> bool array``: False...False True...True over the
+    interval (vacuously all-False allowed -> returns r).  ``bits``: static
+    bound with interval length <= 2^bits - 1.  Runs
+    ``ceil(bits / log2 k)`` unrolled rounds; each round's k-1 probes are
+    independent gathers.  Worst-case interval shrink per round is
+    floor(n/k) (lower-bound split arithmetic), so floor(n / k^R) = 0 at
+    R = ceil(log_k(n + 1)) <= ceil(bits / log2 k).
+    """
+    import math
+
+    rounds = max(1, math.ceil(bits / math.log2(k)))
+    for _ in range(rounds):
+        active = l < r
+        n = r - l
+        ms = [l + (n * j) // k for j in range(1, k)]
+        ges = [probe(m) for m in ms]
+        new_r = r
+        for m, ge in zip(reversed(ms), reversed(ges)):
+            new_r = jnp.where(ge, m, new_r)
+        new_l = ms[-1] + 1
+        prev = [l] + [m + 1 for m in ms[:-1]]
+        for j in range(k - 2, -1, -1):
+            new_l = jnp.where(ges[j], prev[j], new_l)
+        l = jnp.where(active, new_l, l)
+        r = jnp.where(active, new_r, r)
+    return l
+
+
 def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
                     start_index, bucket_flagged, *, pattern_name: str,
                     ag_wildcard: bool, search_bits: int,
@@ -107,6 +154,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
                     wl_factor: int = WL_FACTOR, exact_b: bool = False,
                     uniq_words=None, uniq_off=None, uniq_counter=None,
                     uniq_bits: int = 0, full_mask: bool = False,
+                    tp_route: int = 0,
                     stage_out: str | None = None):
     """Map a read batch against one table (trace-level core).
 
@@ -150,6 +198,20 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     and its end is one ``uniq_off`` gather past the lower bound; without the
     promise a second (upper-bound) probe chain finds the end of the
     masked-prefix run group.
+
+    ``tp_route`` (static, requires ``key_base``): the tp mesh size T.  A
+    bucket lives wholly on one tp shard, so of a chunk's B*S (read, seed)
+    pairs only ~B*S/T are owned by this shard -- but the probe chains,
+    slab admission and worklist machinery are fixed-shape and would run at
+    full (B, S) size on every shard, which is why tp=2 measured only 0.69
+    efficiency (SCALING.json round 4).  With ``tp_route`` = T > 1 the owned
+    pairs are COMPACTED into K ~= 1.25 * B*S/T rows first (order-preserving,
+    so examination order is untouched) and everything from the probe chains
+    down runs at 1/T size; the worklist shrinks by T as well.  Reads whose
+    owned pairs spill K take the host path (``fallback``), exactly like
+    worklist spills.  This is the all-to-all-by-key half of the scaling-book
+    recipe: reads are routed to the shard that owns their bucket instead of
+    every shard scanning every read.
     """
     pattern = get_pattern(pattern_name)
     plen = pattern.pattern_len
@@ -196,6 +258,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     key = pack16(cvals[..., :kw])
 
     use_uniq = uniq_bits > 0 and not exact_b and uniq_words is not None
+    route = tp_route > 1 and key_base is not None
     # bucket_flagged is a per-bucket bit mask: bit0 = host-fallback in the
     # fast path, bit1 = host-fallback in the exact_b path (device_index).
     # On the uniq path lo/hi are RUN-space bucket bounds (uniq_counter);
@@ -210,15 +273,22 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         local = key - jnp.uint32(key_base)  # wraps below base -> large
         in_range = local < jnp.uint32(bounds.shape[0] - 1)
         lidx = jnp.where(in_range, local, 0).astype(jnp.int32)
-        lo = jnp.where(in_range, jnp.take(bounds, lidx).astype(jnp.int32), 0)
-        hi = jnp.where(in_range, jnp.take(bounds, lidx + 1).astype(jnp.int32), 0)
         flagged = in_range & ((jnp.take(bucket_flagged, lidx) & fbit) != 0)
+        if not route:
+            lo = jnp.where(
+                in_range, jnp.take(bounds, lidx).astype(jnp.int32), 0
+            )
+            hi = jnp.where(
+                in_range, jnp.take(bounds, lidx + 1).astype(jnp.int32), 0
+            )
 
     # stage_out: profiling hook (tools/device_profile.py).  Returning a tiny
     # checksum right after a stage lets XLA dead-code-eliminate everything
     # downstream, so timing the truncated programs yields a per-stage cost
     # breakdown of the REAL compiled pipeline (not a re-implementation).
     if stage_out == "keys":
+        if route:
+            return jnp.sum(in_range) + jnp.sum(flagged)
         return jnp.sum(lo) + jnp.sum(hi) + jnp.sum(flagged)
 
     # --- read prefix key words (cared[kw..kw+47] per shift) + masks ---
@@ -247,6 +317,46 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         )
         masks.append(jnp.broadcast_to(m, (B, S)))
     rws = [rw & m for rw, m in zip(rwords, masks)]
+
+    if route:
+        # --- compact this shard's OWNED (read, seed) pairs into K rows.
+        # Flat pair order is read-major then seed asc, so the compaction
+        # preserves examination order; everything downstream runs in the
+        # compacted row space (K,) instead of (B, S).
+        pairs = B * S
+        K = min(pairs, int(1.25 * pairs / tp_route) + 128)
+        own_flat = in_range.reshape(pairs)
+        gq = jnp.cumsum(own_flat.astype(jnp.int32)) - 1
+        r_src = jnp.full((K,), -1, dtype=jnp.int32).at[
+            jnp.where(own_flat & (gq < K), gq, K)
+        ].set(jnp.arange(pairs, dtype=jnp.int32), mode="drop")
+        # reads whose owned pairs spilled the route capacity -> host path
+        route_spill = jnp.any(
+            (own_flat & (gq >= K)).reshape(B, S), axis=1
+        )
+        rvalid = r_src >= 0
+        r_flat = jnp.maximum(r_src, 0)
+        r_read = r_flat // S
+        r_seedi = r_flat % S
+
+        def rgat(x):  # (B, S) -> (K,)
+            return jnp.take(x.reshape(-1), r_flat)
+
+        lidx_r = rgat(lidx)
+        lo = jnp.where(
+            rvalid, jnp.take(bounds, lidx_r).astype(jnp.int32), 0
+        )
+        hi = jnp.where(
+            rvalid, jnp.take(bounds, lidx_r + 1).astype(jnp.int32), 0
+        )
+        flagged_r = rgat(flagged) & rvalid
+        masks = [rgat(m) for m in masks]
+        rws = [rgat(w) for w in rws]
+
+        def by_read(v):  # (K,) bool -> (B,) any
+            return jnp.zeros((B,), jnp.int32).at[r_read].add(
+                (v & rvalid).astype(jnp.int32), mode="drop"
+            ) > 0
 
     # number of key words probed by the search and the slab admission; the
     # fast path defers words beyond the first to the window cared check
@@ -281,23 +391,18 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
                   for kw_, m in zip(kws[:nprobe], masks[:nprobe])]
             return _lex_ge(es, rws[:nprobe])
 
-        # first entry >= read prefix: the refined run starts here.  The loop
-        # is UNROLLED (search_bits is static, <= 32): each iteration is one
-        # sequential HBM gather; lax.fori_loop's per-trip loop machinery
-        # costs more than the duplicated body on this gather-latency-bound
-        # chain.  All midpoints below use the overflow-free l + (r-l)//2
-        # form: (l+r)//2 wraps int32 once a shard holds > 2^30 entries --
-        # hg19's T-rich shard has 1.55e9, and the wrapped search silently
-        # returned empty runs (930 reads lost; caught by tools/hg19_scale
-        # parity, round 4).
-        l, r = lo, hi
-        for _ in range(search_bits):
-            mid = l + (r - l) // 2
-            ge = probe(mid)
-            active = l < r
-            r = jnp.where(active & ge, mid, r)
-            l = jnp.where(active & ~ge, mid + 1, l)
-        lower = l
+        # first entry >= read prefix: the refined run starts here.  The
+        # rounds are UNROLLED (search_bits is static, <= 32): lax.fori_loop's
+        # per-trip loop machinery costs more than the duplicated body on this
+        # gather-latency-bound chain.  All interval arithmetic uses the
+        # overflow-free l + (r-l)*j//k form: (l+r)//2 wraps int32 once a
+        # shard holds > 2^30 entries -- hg19's T-rich shard has 1.55e9, and
+        # the wrapped search silently returned empty runs (930 reads lost;
+        # caught by tools/hg19_scale parity, round 4).  Single-word probes
+        # take the k-ary search (see _search_k); multi-word (exact_b) probes
+        # stay binary -- k-ary would multiply the per-round gathers by npw.
+        lower = _kary_lower(lo, hi, probe, search_bits,
+                            _search_k() if nprobe == 1 else 2)
     elif key16:
         kw16 = key_words
         m16 = masks[0] >> jnp.uint32(16)
@@ -307,14 +412,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
             e = jnp.take(kw16, mid, mode="clip").astype(jnp.uint32) & m16
             return e >= rw16
 
-        l, r = lo, hi
-        for _ in range(search_bits):
-            mid = l + (r - l) // 2
-            ge = probe16(mid)
-            active = l < r
-            r = jnp.where(active & ge, mid, r)
-            l = jnp.where(active & ~ge, mid + 1, l)
-        lower = l
+        lower = _kary_lower(lo, hi, probe16, search_bits, _search_k())
     else:
         # run-space refinement: lo/hi bound the bucket's word-0 RUNS; the
         # lower bound over uniq_words needs uniq_bits probes (<= the entry
@@ -327,14 +425,8 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
             e = jnp.take(uniq_words, mid, mode="clip") & m0
             return (e > rw0) if strict else (e >= rw0)
 
-        l, r = lo, hi
-        for _ in range(uniq_bits):
-            mid = l + (r - l) // 2
-            ge = uprobe(mid, False)
-            active = l < r
-            r = jnp.where(active & ge, mid, r)
-            l = jnp.where(active & ~ge, mid + 1, l)
-        lu = l
+        lu = _kary_lower(lo, hi, lambda m: uprobe(m, False), uniq_bits,
+                         _search_k())
         elo = jnp.take(uniq_off, lu, mode="clip").astype(jnp.int32)
         if full_mask:
             # every real read compares a full word 0, so the refined region
@@ -349,13 +441,8 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         else:
             # masked (short-read) prefixes can span several runs: a second
             # probe chain finds the first run past the prefix group
-            l2, r2 = lu, hi
-            for _ in range(uniq_bits):
-                mid = l2 + (r2 - l2) // 2
-                gt = uprobe(mid, True)
-                active = l2 < r2
-                r2 = jnp.where(active & gt, mid, r2)
-                l2 = jnp.where(active & ~gt, mid + 1, l2)
+            l2 = _kary_lower(lu, hi, lambda m: uprobe(m, True),
+                             uniq_bits, _search_k())
             ehi = jnp.take(uniq_off, l2, mode="clip").astype(jnp.int32)
         lower = elo
         run_len = jnp.maximum(ehi - elo, 0)
@@ -370,26 +457,28 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     # words the old formulation compared under a cared mask.
     shifts = jnp.asarray(seeds, dtype=jnp.int32)  # (S,)
     j = jnp.arange(C, dtype=jnp.int32)
+    # row space: (B, S) unrouted, (K,) routed; jC broadcasts the slab axis
+    jC = j[None, :] if route else j[None, None, :]
     if use_uniq:
         # run bounds are exact: slab admission is pure arithmetic
         refined_cnt = jnp.minimum(run_len, C)
-        refined = j[None, None, :] < refined_cnt[:, :, None]
+        refined = jC < refined_cnt[..., None]
         capped = refined_cnt > b  # never fires in the fast path (b >= slab)
         overflow = (run_len > C) & ~capped
     else:
-        in_bucket = j[None, None, :] < (hi - lower)[:, :, None]
-        slot = lower[:, :, None] + j[None, None, :]
+        in_bucket = jC < (hi - lower)[..., None]
+        slot = lower[..., None] + jC
         slotc = jnp.clip(slot, 0, n_entries - 1)
         refined = in_bucket
         if key16:
-            es = jnp.take(kw16, slotc).astype(jnp.uint32) & m16[:, :, None]
-            refined = refined & (es == rw16[:, :, None])
+            es = jnp.take(kw16, slotc).astype(jnp.uint32) & m16[..., None]
+            refined = refined & (es == rw16[..., None])
         else:
             for kw_, m, rw in zip(kws[:nprobe], masks[:nprobe], rws[:nprobe]):
-                es = jnp.take(kw_, slotc) & m[:, :, None]
-                refined = refined & (es == rw[:, :, None])
+                es = jnp.take(kw_, slotc) & m[..., None]
+                refined = refined & (es == rw[..., None])
 
-        refined_cnt = jnp.sum(refined, axis=-1, dtype=jnp.int32)  # (B, S)
+        refined_cnt = jnp.sum(refined, axis=-1, dtype=jnp.int32)
         # seed skipped entirely (mapping.cpp:275-277)
         capped = refined_cnt > b
         # run may extend past the slab: every examined slot matched and
@@ -402,11 +491,13 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     if stage_out == "membership":
         return jnp.sum(refined_cnt) + jnp.sum(overflow)
 
+    row_ok = (jnp.take(read_ok, r_read) if route
+              else read_ok[:, None])  # broadcasts over the row space
     keep_pre = (
         refined
-        & ~capped[:, :, None]
-        & ~overflow[:, :, None]
-        & read_ok[:, None, None]
+        & ~capped[..., None]
+        & ~overflow[..., None]
+        & row_ok[..., None]
     )
 
     # --- compact the refined survivors into one flat cross-read worklist;
@@ -418,24 +509,37 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     # -- the (W+1)-word window gather, the read-row gather, the compaction
     # scatter -- scales with M, and survivors average ~1.2/read, so shaving
     # slots is direct device time (spills stay correct via the host path).
-    M = max(1, int(wl_factor * B))
-    keep_flat = keep_pre.reshape(B * S * C)
+    # routed shards carry ~1/T of the chunk's survivors, so the worklist
+    # (and every fixed-M op scaling with it) shrinks by T as well
+    M = max(1, int(wl_factor * B / max(1, tp_route if route else 1)))
+    n_rows = K if route else B * S
+    keep_flat = keep_pre.reshape(n_rows * C)
     gidx = jnp.cumsum(keep_flat.astype(jnp.int32)) - 1
     wl_src = jnp.full((M,), -1, dtype=jnp.int32).at[
         jnp.where(keep_flat & (gidx < M), gidx, M)
-    ].set(jnp.arange(B * S * C, dtype=jnp.int32), mode="drop")
+    ].set(jnp.arange(n_rows * C, dtype=jnp.int32), mode="drop")
     # reads whose survivors spilled past the worklist take the host path
-    wl_spill = jnp.any(
-        (keep_flat & (gidx >= M)).reshape(B, S * C), axis=1
-    )
+    if route:
+        wl_spill = by_read(
+            jnp.any((keep_flat & (gidx >= M)).reshape(K, C), axis=1)
+        )
+    else:
+        wl_spill = jnp.any(
+            (keep_flat & (gidx >= M)).reshape(B, S * C), axis=1
+        )
 
     wl_valid = wl_src >= 0
     wl_flat = jnp.maximum(wl_src, 0)
-    wl_read = wl_flat // (S * C)
     wl_bs = wl_flat // C
-    wl_seedi = wl_bs % S
+    if route:
+        wl_read = jnp.take(r_read, wl_bs)
+        wl_seedi = jnp.take(r_seedi, wl_bs)
+        wl_entryidx = jnp.take(lower, wl_bs) + (wl_flat % C)
+    else:
+        wl_read = wl_flat // (S * C)
+        wl_seedi = wl_bs % S
+        wl_entryidx = jnp.take(lower.reshape(-1), wl_bs) + (wl_flat % C)
     wl_shift = jnp.take(shifts, wl_seedi)  # (M,)
-    wl_entryidx = jnp.take(lower.reshape(-1), wl_bs) + (wl_flat % C)
     # Genome POSITIONS stay uint32 end to end: the format allows genomes up
     # to 4 Gbp (u32 positions, reference.cpp:302-322), so int32 would wrap
     # beyond 2 Gbp (hg19 is 3.1 Gbp).  The u32 subtractions below are exact:
@@ -570,20 +674,33 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     cand_mm = compact(mm, 0, jnp.int32)
     cand_cnt = cnt
 
-    fallback = (
-        (
-            jnp.any(overflow, axis=1)
-            # flagged buckets: stored order / padding quirks make the refined
-            # run irreproducible on device -> exact host path
-            | jnp.any(flagged & (hi > lo), axis=1)
+    if route:
+        fallback = (
+            (by_read(overflow)
+             # flagged buckets: stored order / padding quirks make the
+             # refined run irreproducible on device -> exact host path
+             | by_read(flagged_r & (hi > lo)))
+            & read_ok
+            | (seed_len > kw + 48)
+            | (cand_cnt > cand_slab)
+            | wl_spill
+            | route_spill
         )
-        & read_ok
-        # packed key words cover cared positions kw..kw+47 only; longer
-        # seeds (pattern 7 reads > 111bp) need the host path
-        | (seed_len > kw + 48)
-        | (cand_cnt > cand_slab)
-        | wl_spill
-    )
+    else:
+        fallback = (
+            (
+                jnp.any(overflow, axis=1)
+                # flagged buckets: stored order / padding quirks make the
+                # refined run irreproducible on device -> exact host path
+                | jnp.any(flagged & (hi > lo), axis=1)
+            )
+            & read_ok
+            # packed key words cover cared positions kw..kw+47 only; longer
+            # seeds (pattern 7 reads > 111bp) need the host path
+            | (seed_len > kw + 48)
+            | (cand_cnt > cand_slab)
+            | wl_spill
+        )
     return cand_seed, cand_pos, cand_mm, jnp.minimum(cand_cnt, cand_slab), fallback
 
 

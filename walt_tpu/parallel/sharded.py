@@ -407,6 +407,7 @@ def map_strand_sharded(preads, lens, b, max_mm, key_base, counter, index,
             uniq_words=uniq_words[0] if have_uniq else None,
             uniq_off=uniq_off[0] if have_uniq else None,
             uniq_bits=uniq_bits, full_mask=full_mask,
+            tp_route=int(mesh.shape["tp"]),
         )
         from walt_tpu.constants import get_pattern
 
@@ -517,7 +518,7 @@ def map_single_end_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
                 verify_slab=verify_slab, cand_slab=cand_slab,
                 key_base=t["key_base"][0], seeds=seeds, wl_factor=wl_factor,
                 exact_b=exact_b, uniq_bits=ubits, full_mask=full_mask,
-                **_uniq_kw(t),
+                tp_route=int(mesh.shape["tp"]), **_uniq_kw(t),
             )
             # tp exchange is SUMMARIES, not slabs: a (read, seed) bucket
             # lives wholly on one shard, so the BestMatch fold only needs
@@ -605,7 +606,7 @@ def map_mate_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
                 verify_slab=verify_slab, cand_slab=cand_slab,
                 key_base=t["key_base"][0], wl_factor=wl_factor,
                 exact_b=exact_b, uniq_bits=ubits, full_mask=full_mask,
-                **_uniq_kw(t),
+                tp_route=int(mesh.shape["tp"]), **_uniq_kw(t),
             )
             slabs.append((cs, cp, cm))
             fallback = fb if fallback is None else (fallback | fb)
