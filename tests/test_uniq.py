@@ -46,13 +46,45 @@ def test_builders_agree(table):
         chunk=1 << 10,  # force many chunks + carry handling
     )
     assert h_bits == d_bits
-    assert np.array_equal(h_uw, np.asarray(d_uw))
-    assert np.array_equal(h_uo, np.asarray(d_uo))
+    # the device builder returns CAPACITY arrays (single-pass, round 5):
+    # the used prefix must equal the host's exact structure and every pad
+    # slot past it must hold n (keeps uniq_off sorted for searchsorted)
+    U = len(h_uw)
+    assert np.array_equal(h_uw, np.asarray(d_uw)[:U])
+    assert np.array_equal(h_uo, np.asarray(d_uo)[: U + 1])
+    assert (np.asarray(d_uo)[U:] == len(ht.index)).all()
     assert np.array_equal(h_uc, np.asarray(d_uc))
     # structure sanity: runs tile the entry space, buckets tile the runs
     assert h_uo[0] == 0 and h_uo[-1] == len(ht.index)
     assert (np.diff(h_uo.astype(np.int64)) > 0).all()
     assert h_uc[0] == 0 and h_uc[-1] == len(h_uw)
+
+
+def test_budget_capacity_band(table):
+    """max_bytes between 8(U+1) and 8(n+1) still builds (the band the old
+    exact two-pass design exploited); below 8(U+1) it returns None."""
+    import jax.numpy as jnp
+
+    from walt_tpu.core.refmap import padded_seq
+    from walt_tpu.ops.device_index import (
+        build_uniq_device, build_uniq_host, pack_key_words,
+    )
+    from walt_tpu.ops.packing import pack_genome_np
+
+    g, ht = table
+    pattern = get_pattern("3")
+    w0 = pack_key_words(padded_seq(g, pattern), ht.index, pattern)[:, 0]
+    h_uw, h_uo, h_uc, _ = build_uniq_host(w0, ht.counter)
+    U, n = len(h_uw), len(ht.index)
+    nbw4 = ((n + 31) >> 5) * 4
+    args = (jnp.asarray(pack_genome_np(g.seq, tail_words=66)),
+            jnp.asarray(ht.index), jnp.asarray(ht.counter), pattern)
+    # fits exactly U runs (cap >= U): must build and match the host prefix
+    got = build_uniq_device(*args, max_bytes=8 * (U + 2) + nbw4)
+    assert got is not None
+    assert np.array_equal(h_uw, np.asarray(got[0])[:U])
+    # cannot fit U runs: must refuse (incomplete structures are discarded)
+    assert build_uniq_device(*args, max_bytes=8 * (U - 5) + nbw4) is None
 
 
 def _diff_vs_oracle(table, fastq, b=5000, max_mm=6, **backend_kw):

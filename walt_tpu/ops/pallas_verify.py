@@ -9,18 +9,19 @@ membership is decided from the packed lookup keys *before* the worklist is
 built (ops/pipeline.map_strand_core), so this kernel only ever sees real
 candidates (typically 1-2 per read), not full slabs.
 
-This kernel pins the align/compare/count chain in VMEM explicitly: one grid
-step loads a (TM, W+1) tile of raw slices plus the (TM, W) read words and
-writes the (TM,) mismatch counts and the aligned windows (the pipeline's
-verify_skip corrections read individual window lanes).  The genome gather
-itself stays in XLA (jnp.take lowers to a fast native gather; candidate
-positions have no block locality a Pallas DMA schedule could exploit).
+Layout (round 5, chip-learned): the worklist row count M is the LANE
+dimension.  The first formulation blocked on (TM, W) tiles with W <= 8 as
+the minor axis; TPU tiles pad the minor axis to 128 lanes, so every VMEM
+block carried 16-18x padding and the kernel VMEM-OOMed at production
+shapes (scoped 19.8 M > 16 M at TM=4096).  With (W, TM) blocks -- words
+major, rows minor -- blocks are dense, VMEM holds kilobyte-true tiles, and
+the vector ops run at full lane occupancy.  The caller gathers the genome
+slices directly in (W+1, M) form (same HBM bytes, transposed index
+arithmetic) and transposes the tiny read/lane arrays in XLA.
 
-Enabled with WALTX_PALLAS=1 (see ops/pipeline.py); the XLA path remains the
-default because on the tunnel-attached bench device the two are within
-noise, and the XLA path also runs on the CPU test mesh without
-interpret-mode overhead.  Correctness is tested in interpreter mode on CPU
-(tests/test_pallas.py) against the jnp formulation.
+Enabled with WALTX_PALLAS=1 (see ops/pipeline.py); correctness is tested
+in interpreter mode on CPU (tests/test_pallas.py) against the jnp
+formulation, and the on-chip A/B lives in DEVPROF.json.
 """
 
 from __future__ import annotations
@@ -32,25 +33,24 @@ import jax.numpy as jnp
 
 from jax.experimental import pallas as pl
 
-#: worklist rows per grid step; (TM, W+1) uint32 slice rows plus outputs
-#: stay well under VMEM at any practical W (<= 64 words = 1 kbp reads)
-TILE_ROWS = 4096
+#: worklist rows per grid step (the LANE axis of each (W, TILE_ROWS) block)
+TILE_ROWS = 2048
 
 
 def _verify_kernel(slices_ref, shift_ref, conv_ref, lane_ref,
                    mm_ref, win_ref, *, W: int):
-    """One (TM,) tile: align + compare + fold + count.
+    """One (W, TM) tile: align + compare + fold + count.
 
-    slices: (TM, W+1) u32 raw genome words starting at gpos >> 4
-    shift:  (TM, 1) u32, 2 * (gpos & 15)
-    conv:   (TM, W) u32 converted read words
-    lane:   (TM, W) u32 read-length lane masks
-    mm:     (TM, 1) i32 mismatching-lane count over the masked window
-    win:    (TM, W) u32 the aligned window (for verify_skip corrections)
+    slices: (W+1, TM) u32 raw genome words, word j of row m at [j, m]
+    shift:  (1, TM) u32, 2 * (gpos & 15)
+    conv:   (W, TM) u32 converted read words
+    lane:   (W, TM) u32 read-length lane masks
+    mm:     (1, TM) i32 mismatching-lane count over the masked window
+    win:    (W, TM) u32 the aligned window (for verify_skip corrections)
     """
-    sh = shift_ref[:, :]  # (TM, 1)
-    lo = jax.lax.slice_in_dim(slices_ref[:, :], 0, W, axis=1)
-    hi = jax.lax.slice_in_dim(slices_ref[:, :], 1, W + 1, axis=1)
+    sh = shift_ref[:, :]  # (1, TM)
+    lo = jax.lax.slice_in_dim(slices_ref[:, :], 0, W, axis=0)
+    hi = jax.lax.slice_in_dim(slices_ref[:, :], 1, W + 1, axis=0)
     # funnel-align; (hi >> (31 - sh)) >> 1 guards the undefined >>32
     win = jnp.where(
         sh == 0, lo, (lo << sh) | ((hi >> (jnp.uint32(31) - sh)) >> 1)
@@ -60,24 +60,60 @@ def _verify_kernel(slices_ref, shift_ref, conv_ref, lane_ref,
     fold = d | (d >> 1)
     mm_ref[:, :] = jnp.sum(
         jax.lax.population_count(fold & lane_ref[:, :]),
-        axis=-1, keepdims=True, dtype=jnp.int32,
+        axis=0, keepdims=True, dtype=jnp.int32,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("W", "interpret", "tile"))
-def verify_flat(slices, shift, conv, lane, *, W: int,
-                interpret: bool = False, tile: int = TILE_ROWS):
-    """Fused verify over a pre-gathered (M, W+1) worklist.
+def verify_windows(pseq, gpos, conv, lane, *, W: int,
+                   interpret: bool = False, tile: int = TILE_ROWS):
+    """Gather + fused verify over a worklist of genome positions.
 
+    pseq: (Wg,) packed genome words; gpos: (M,) uint32 window start
+    positions; conv/lane: (M, W) uint32 read words / length masks.
     Returns (mm (M,) int32, win (M, W) uint32); semantics match the jnp
-    chain in ops/pipeline.map_strand_core (win/fold/popcount).
+    chain in ops/pipeline.map_strand_core (window_words/fold/popcount).
+
+    The slice gather runs in XLA directly into the kernel's (W+1, M)
+    layout; the kernel fuses align/compare/fold/count in VMEM.
     """
-    M = slices.shape[0]
-    TM = min(tile, max(8, M))
+    M = gpos.shape[0]
+    word0 = (gpos >> 4).astype(jnp.int32)
+    sh = ((gpos & 15) << 1).astype(jnp.uint32)
+    # (W+1, M) gather: word j of row m = pseq[word0[m] + j]
+    widx = word0[None, :] + jnp.arange(W + 1, dtype=jnp.int32)[:, None]
+    slices = jnp.take(pseq, widx, mode="clip")
+    mm, win = verify_flat(slices, sh, conv.T, lane.T, W=W,
+                          interpret=interpret, tile=tile, transposed=True)
+    return mm, win.T
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("W", "interpret", "tile", "transposed"))
+def verify_flat(slices, shift, conv, lane, *, W: int,
+                interpret: bool = False, tile: int = TILE_ROWS,
+                transposed: bool = False):
+    """Fused verify over a pre-gathered worklist.
+
+    ``transposed=False`` (compat shape): slices (M, W+1), conv/lane (M, W);
+    returns (mm (M,), win (M, W)).  ``transposed=True``: slices (W+1, M),
+    conv/lane (W, M); returns (mm (M,), win (W, M)) -- the layout the
+    kernel actually runs, with M on the 128-lane axis (see module
+    docstring).
+    """
+    if not transposed:
+        mm, win = verify_flat(slices.T, shift, conv.T, lane.T, W=W,
+                              interpret=interpret, tile=tile,
+                              transposed=True)
+        return mm, win.T
+    M = slices.shape[1]
+    TM = min(tile, max(128, M))
     pad = (-M) % TM
     if pad:
-        zs = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
-        slices, shift, conv, lane = map(zs, (slices, shift, conv, lane))
+        zs = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+        slices, shift, conv, lane = (
+            zs(slices), jnp.pad(shift, (0, pad)), zs(conv), zs(lane)
+        )
     Mp = M + pad
     grid = (Mp // TM,)
     kern = functools.partial(_verify_kernel, W=W)
@@ -85,26 +121,26 @@ def verify_flat(slices, shift, conv, lane, *, W: int,
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TM, W + 1), lambda i: (i, 0)),
-            pl.BlockSpec((TM, 1), lambda i: (i, 0)),
-            pl.BlockSpec((TM, W), lambda i: (i, 0)),
-            pl.BlockSpec((TM, W), lambda i: (i, 0)),
+            pl.BlockSpec((W + 1, TM), lambda i: (0, i)),
+            pl.BlockSpec((1, TM), lambda i: (0, i)),
+            pl.BlockSpec((W, TM), lambda i: (0, i)),
+            pl.BlockSpec((W, TM), lambda i: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((TM, 1), lambda i: (i, 0)),
-            pl.BlockSpec((TM, W), lambda i: (i, 0)),
+            pl.BlockSpec((1, TM), lambda i: (0, i)),
+            pl.BlockSpec((W, TM), lambda i: (0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Mp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Mp, W), jnp.uint32),
+            jax.ShapeDtypeStruct((1, Mp), jnp.int32),
+            jax.ShapeDtypeStruct((W, Mp), jnp.uint32),
         ],
         interpret=interpret,
-    )(slices, shift.reshape(Mp, 1), conv, lane)
-    return mm[:M, 0], win[:M]
+    )(slices, shift.reshape(1, Mp), conv, lane)
+    return mm[0, :M], win[:, :M]
 
 
 def verify_flat_reference(slices, shift, conv, lane, *, W):
-    """jnp oracle with identical semantics (used by tests)."""
+    """jnp oracle with identical semantics (used by tests; (M, W+1) in)."""
     sh = shift.astype(jnp.uint32)[:, None]
     lo = slices[:, :W]
     hi = slices[:, 1:]

@@ -49,15 +49,22 @@ from walt_tpu.ops import packing
 
 
 def _use_pallas() -> bool:
-    """Route the verify stage through the Pallas kernel (WALTX_PALLAS=1).
+    """Route the verify stage through the Pallas kernel.
 
-    Off by default: on the tunnel-attached bench device the XLA and Pallas
-    formulations are within noise (the pipeline is RTT-bound), and the XLA
-    path also runs on the CPU test mesh without interpret-mode overhead.
+    Default: ON for TPU backends, OFF elsewhere (the CPU test mesh would
+    pay interpret-mode overhead).  WALTX_PALLAS=1/0 forces either way.
+    Chip-measured (round 5, DEVPROF.json pallas_ab): with the lane-major
+    (W, M) block layout the kernel runs the verify stage at 15.6 ms vs the
+    XLA formulation's 17.0 ms on the identical se_large worklist (strand
+    120.8 vs 123.2 ms) -- the first formulation's (M, W) blocks padded the
+    minor axis 16-18x and VMEM-OOMed at production shapes.
     """
     import os
 
-    return os.environ.get("WALTX_PALLAS", "") == "1"
+    env = os.environ.get("WALTX_PALLAS", "")
+    if env:
+        return env == "1"
+    return jax.default_backend() == "tpu"
 
 
 #: tier-1 verify slab: refined entries verified per (read, seed); tiny on
@@ -99,19 +106,22 @@ def _lex_ge(es, rs):
 
 
 def _search_k() -> int:
-    """Arity of the refinement search (WALTX_SEARCH_K, default 4).
+    """Arity of the refinement search (WALTX_SEARCH_K, default 2 = binary).
 
     The probe chains are the pipeline's dominant stage on real silicon
-    (DEVPROF round 4: search 54.5 ms of 249 ms) and they are LATENCY-bound:
-    each binary-search round is one 4-byte HBM gather that depends on the
-    previous round.  A k-ary round issues k-1 INDEPENDENT gathers (they
-    pipeline) and divides the interval by k, cutting the serial depth from
-    ``bits`` to ``ceil(bits / log2 k)`` rounds -- at k=4 that is half the
-    dependent-gather chain for 3x the (cheap, parallel) probe traffic.
+    (DEVPROF round 4: search 54.5 ms of 249 ms).  A k-ary round issues k-1
+    independent gathers and divides the interval by k, trading serial
+    depth (ceil(bits/log2 k) rounds) for total probe traffic
+    ((k-1) * rounds gathers).  CHIP-MEASURED on the v5e (round 5): k=4 ran
+    the search stage at 81.5 ms vs binary's 54.5 ms on the identical
+    se_large workload -- the stage is gather-ISSUE-throughput bound, not
+    latency bound, and binary's probe count (= bits, the comparison-based
+    minimum) wins.  The knob stays for other hardware generations, where
+    the latency/issue balance may differ.
     """
     import os
 
-    return max(2, int(os.environ.get("WALTX_SEARCH_K", "4")))
+    return max(2, int(os.environ.get("WALTX_SEARCH_K", "2")))
 
 
 def _kary_lower(l, r, probe, bits: int, k: int):
@@ -154,7 +164,7 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
                     wl_factor: int = WL_FACTOR, exact_b: bool = False,
                     uniq_words=None, uniq_off=None, uniq_counter=None,
                     uniq_bits: int = 0, full_mask: bool = False,
-                    tp_route: int = 0,
+                    tp_route: int = 0, emit_wl: bool = False,
                     stage_out: str | None = None):
     """Map a read batch against one table (trace-level core).
 
@@ -578,12 +588,10 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
         # chain in the Pallas kernel (ops/pallas_verify)
         from walt_tpu.ops import pallas_verify
 
-        word0 = (wl_gpos >> 4).astype(jnp.int32)
-        sh = ((wl_gpos & 15) << 1).astype(jnp.uint32)  # (M,)
-        widx = word0[:, None] + jnp.arange(W + 1, dtype=jnp.int32)[None, :]
-        slices = jnp.take(pseq, widx, mode="clip")  # (M, W+1)
-        mm, win = pallas_verify.verify_flat(
-            slices, sh, wl_conv, wl_lane, W=W,
+        # the slice gather feeds the kernel's (W+1, M) lane-major layout
+        # directly (see ops/pallas_verify module docstring)
+        mm, win = pallas_verify.verify_windows(
+            pseq, wl_gpos, wl_conv, wl_lane, W=W,
             interpret=jax.default_backend() == "cpu",
         )
     else:
@@ -664,15 +672,16 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
     rank = jnp.cumsum(wl_keep.astype(jnp.int32)) - 1
     dest = rank - jnp.take(base, wl_read)
     dest = jnp.where(wl_keep, dest, cand_slab)  # dropped by scatter mode
-
-    def compact(vals, fill, dtype):
-        out = jnp.full((B, cand_slab), fill, dtype=dtype)
-        return out.at[wl_read, dest].set(vals.astype(dtype), mode="drop")
-
-    cand_seed = compact(wl_shift, -1, jnp.int8)
-    cand_pos = compact(wl_gpos, 0, jnp.uint32)
-    cand_mm = compact(mm, 0, jnp.int32)
     cand_cnt = cnt
+
+    if not emit_wl:
+        def compact(vals, fill, dtype):
+            out = jnp.full((B, cand_slab), fill, dtype=dtype)
+            return out.at[wl_read, dest].set(vals.astype(dtype), mode="drop")
+
+        cand_seed = compact(wl_shift, -1, jnp.int8)
+        cand_pos = compact(wl_gpos, 0, jnp.uint32)
+        cand_mm = compact(mm, 0, jnp.int32)
 
     if route:
         fallback = (
@@ -701,6 +710,12 @@ def map_strand_core(preads, lens, b, max_mm, pseq, counter, index, key_words,
             | (cand_cnt > cand_slab)
             | wl_spill
         )
+    if emit_wl:
+        # worklist-level stream for the PE flat emission
+        # (ops/pe_map.flat_from_wl): the per-read slab col in ``dest`` plus
+        # the raw candidate fields, skipping the 3 slab scatters entirely
+        return ((wl_read, dest, wl_gpos, mm, wl_shift, wl_keep),
+                jnp.minimum(cand_cnt, cand_slab), fallback)
     return cand_seed, cand_pos, cand_mm, jnp.minimum(cand_cnt, cand_slab), fallback
 
 

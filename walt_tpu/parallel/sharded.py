@@ -595,10 +595,10 @@ def map_mate_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
     def body(preads, lens, b, max_mm, tables):
         from walt_tpu.ops import pe_map
 
-        slabs = []
+        wls, cnts = [], []
         fallback = None
         for t, bits, ubits in zip(tables, search_bits, uniq_bits):
-            cs, cp, cm, cc, fb = pipeline.map_strand_core(
+            wl, cnt, fb = pipeline.map_strand_core(
                 preads, lens, b, max_mm, t["pseq"], t["counter"][0],
                 t["index"][0], t["key_words"][0], t["start_index"],
                 t["bucket_flagged"][0], pattern_name=pattern_name,
@@ -606,11 +606,14 @@ def map_mate_sharded(preads, lens, b, max_mm, tables, *, mesh: Mesh,
                 verify_slab=verify_slab, cand_slab=cand_slab,
                 key_base=t["key_base"][0], wl_factor=wl_factor,
                 exact_b=exact_b, uniq_bits=ubits, full_mask=full_mask,
-                tp_route=int(mesh.shape["tp"]), **_uniq_kw(t),
+                tp_route=int(mesh.shape["tp"]), emit_wl=True,
+                **_uniq_kw(t),
             )
-            slabs.append((cs, cp, cm))
+            wls.append(wl)
+            cnts.append(cnt)
             fallback = fb if fallback is None else (fallback | fb)
-        meta_l, flat_l = pe_map.flat_compact(slabs, fallback, flat_factor)
+        meta_l, flat_l = pe_map.flat_from_wl(wls, cnts, fallback,
+                                             flat_factor, cand_slab)
         return (jax.lax.all_gather(meta_l, "tp"),
                 jax.lax.all_gather(flat_l, "tp"))
 
