@@ -95,14 +95,24 @@ def test_no_uniq_degrade_identical(tmp_path, my_index, se_fastq, monkeypatch):
     backend = JaxBackend(chunk=256, small_chunk=64)
     _run_se(my_index, se_fastq, nu, backend)
     # the degrade actually happened: no table carries a uniq index, and
-    # the fast path runs on the WIDEST key rung the (unconstrained) budget
-    # allows -- full u32 word-0 tables
+    # the rung order follows the measured-throughput policy (round 5):
+    # key16 + concurrent native host replay beats the wider u32 word-0
+    # rung end-to-end, so with the native library present the ladder
+    # takes key16 first; without it the wider word (less Python-replay
+    # fallback) wins
     assert all(entry[0].uniq_bits == 0 for entry in backend._tables.values())
     import jax.numpy as jnp
 
-    assert all(entry[1]["key_words"].dtype == jnp.uint32
-               and entry[1]["key_words"].ndim == 2
-               for entry in backend._tables.values())
+    from walt_tpu import native as _native
+
+    if _native.get_lib() is not None:
+        assert all(entry[1]["key_words"].dtype == jnp.uint16
+                   and entry[1]["key_words"].ndim == 1
+                   for entry in backend._tables.values())
+    else:
+        assert all(entry[1]["key_words"].dtype == jnp.uint32
+                   and entry[1]["key_words"].ndim == 2
+                   for entry in backend._tables.values())
     assert open(nu).read() == open(ok).read()
 
 

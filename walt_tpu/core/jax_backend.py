@@ -402,24 +402,36 @@ class JaxBackend:
             # packed lookup keys from the uploaded genome: saves the
             # 48-gather host pass and a 12-bytes/entry transfer.  The
             # exact_b path (b below the verify slabs) needs all 3 u32
-            # words.  A uniq-less fast-path table stores ONE word in the
-            # widest form the budget allows:
+            # words.  A uniq-less fast-path table stores ONE word:
             #  - full u32 word 0 (4 bytes/entry): refines to the exact
-            #    word-0 run -- a 28-cared-base effective seed;
+            #    word-0 run -- a 28-cared-base effective seed; ~0%
+            #    host-fallback on se_xl_768M;
             #  - 16-bit prefix (2 bytes/entry, build_key16_device): 8
-            #    cared bases beyond the hash key; cheaper, but the coarser
-            #    run group overflows the verify slab far more often
-            #    (se_xl_768M measured 39.5% host-fallback on this rung;
-            #    round-3 verdict next #6 -> prefer the wider word).
-            # The window cared check verifies the uncompared positions
-            # either way.
+            #    cared bases beyond the hash key; the coarser run group
+            #    overflows the verify slab far more often (se_xl_768M:
+            #    39.5% host-fallback).
+            # Rung ORDER is decided by measured END-TO-END throughput
+            # (round-4 verdict next #7), not fallback %: with the native
+            # host replay present, key16 + concurrent replay measured
+            # 102-120k reads/s on se_xl vs 91-93k for the word0 mixed
+            # layout (PERF.md rounds 3-4) -- the replay is off the critical
+            # path while word0 doubles the key bytes, squeezes the HBM
+            # headroom (its build hit real-allocator OOM at 10.9 GB
+            # resident), and still probes the same search depth.  Without
+            # the native library the replay is slow Python, so the wider
+            # word (less fallback) wins there.
+            from walt_tpu import native as _native
+
+            k16_first = _native.get_lib() is not None
             kw_modes = ([(need_kw, 4 * need_kw * n, "3-word")]
-                        if need_kw >= 3
-                        else [(1, 4 * n, "u32 word0"), (0, 2 * n, "key16")])
+                        if need_kw >= 3 else
+                        [(0, 2 * n, "key16"), (1, 4 * n, "u32 word0")]
+                        if k16_first else
+                        [(1, 4 * n, "u32 word0"), (0, 2 * n, "key16")])
             if need_kw < 3 and rung == "word0":
-                kw_modes = kw_modes[:1]
+                kw_modes = [m for m in kw_modes if m[0] == 1]
             elif need_kw < 3 and rung == "key16":
-                kw_modes = kw_modes[1:]
+                kw_modes = [m for m in kw_modes if m[0] == 0]
             chosen = None
             for mode, kw_bytes, label in kw_modes:
                 if free is None or base + uniq_bytes + kw_bytes <= free:
@@ -457,6 +469,19 @@ class JaxBackend:
                         raise
                     perf.note(f"table {genome.strand}: {label} build hit "
                               f"device OOM, degrading to key16")
+                    # release the failed attempt's buffers BEFORE retrying:
+                    # the word0 OOM leaves multi-GB donated temporaries
+                    # whose refs die with the unwound trace -- without a
+                    # collect + device sync the key16 retry raced them and
+                    # OOMed too (observed on the real chip), demoting the
+                    # whole config to the host path
+                    import gc as _gc
+
+                    _gc.collect()
+                    try:
+                        np.asarray(dev["counter"][:1])  # device fence
+                    except Exception:
+                        pass
                     try:
                         dev["key_words"] = build_kw(0)
                     except Exception as e2:
