@@ -190,11 +190,19 @@ class JaxBackend:
         self.pe_flat_factor = int(_os.environ.get("WALTX_PE_FLAT", "12"))
 
     def _device_table(self, genome: Genome, table: HashTable,
-                      pattern: SeedPattern, n_key_words: int = 1):
+                      pattern: SeedPattern, n_key_words: int = 1,
+                      wide_kw: bool = False):
         """``n_key_words``: packed lookup key words the run needs on device.
         1 suffices for every run whose -b is at least the largest verify
         slab (the exact_b path is then never taken); callers with a smaller
-        -b ask for 3 and an existing 1-word table is rebuilt."""
+        -b ask for 3 and an existing 1-word table is rebuilt.
+
+        ``wide_kw``: prefer the wider u32 word-0 rung over key16 when uniq
+        does not fit.  The PE paths set it: PE collects every candidate
+        <= -m (no 0/1-mm early exit), so key16's coarser run groups
+        overflow the PE tier-1 slab far more often (pe_mid measured 24.4%
+        fallback on key16 vs 7.3% on word0), while SE's measured optimum
+        is key16 + concurrent host replay (PERF.md key-word ladder)."""
         # The cache entry holds strong references to (genome, table): the
         # id()-based key is only unambiguous while those objects are alive
         # (CPython reuses addresses after GC, so a dropped-and-reloaded
@@ -237,7 +245,7 @@ class JaxBackend:
             else:
                 try:
                     dt, dev = self._build_single_device_table(
-                        genome, table, pattern, n_key_words
+                        genome, table, pattern, n_key_words, wide_kw=wide_kw
                     )
                 except HbmBudgetError:
                     self._failed_tables[key] = (genome, table)
@@ -293,7 +301,8 @@ class JaxBackend:
         return total
 
     def _build_single_device_table(self, genome: Genome, table: HashTable,
-                                   pattern: SeedPattern, n_key_words: int):
+                                   pattern: SeedPattern, n_key_words: int,
+                                   wide_kw: bool = False):
         """Upload one table within the HBM budget, degrading gracefully.
 
         Ladder (round-2 verdict next #1/#3): full table + uniq run index ->
@@ -422,7 +431,7 @@ class JaxBackend:
             # word (less fallback) wins there.
             from walt_tpu import native as _native
 
-            k16_first = _native.get_lib() is not None
+            k16_first = _native.get_lib() is not None and not wide_kw
             kw_modes = ([(need_kw, 4 * need_kw * n, "3-word")]
                         if need_kw >= 3 else
                         [(0, 2 * n, "key16"), (1, 4 * n, "u32 word0")]
@@ -700,14 +709,21 @@ class JaxBackend:
                       chunk=8192, wl_factor=3 * self.verify_slab))
             # Tier 3: highly repetitive reads (runs up to 512, e.g.
             # transposon prefixes); small chunks keep the padded work
-            # bounded.  Whatever still falls back (flagged buckets, runs >
-            # 512) is for the host.  (Only reachable without the native
-            # library -- the have_native early-return above.)
+            # bounded.
             todo = np.flatnonzero(fb)
             if todo.size > max(256, n // 128):
                 merge(out, todo,
                       run(codes[todo], lens[todo], None, 512, cand_slab=512,
                           chunk=256, wl_factor=3 * 512))
+            # Tier 4: the deep-repeat tail (key16 run GROUPS up to 4096 --
+            # an hg19-density key16 mesh still had 14.2% of reads past
+            # tier 3, round 5).  Whatever still falls back (flagged
+            # buckets, runs > 4096) is for the host.
+            todo = np.flatnonzero(fb)
+            if todo.size > max(256, n // 128):
+                merge(out, todo,
+                      run(codes[todo], lens[todo], None, 4096,
+                          cand_slab=512, chunk=64, wl_factor=3 * 4096))
         self.total_reads += n
         self.fallback_reads += int(fb.sum())
         return pos, times, minus, mm, fb
@@ -722,7 +738,8 @@ class JaxBackend:
         """
         n = codes.shape[0]
         dt, dev = self._device_table(genome, table, pattern,
-                                     self._needed_key_words(b))
+                                     self._needed_key_words(b),
+                                     wide_kw=True)
         C = self.cand_slab
 
         def run(codes_, lens_, slab, chunk=None,
@@ -839,7 +856,7 @@ class JaxBackend:
         devs, bits, ubits = [], [], []
         nkw = self._needed_key_words(b)
         for g, ht in tables:
-            dt, dev = self._device_table(g, ht, pattern, nkw)
+            dt, dev = self._device_table(g, ht, pattern, nkw, wide_kw=True)
             devs.append(dev)
             bits.append(dt.max_bucket_bits)
             ubits.append(dt.uniq_bits)
